@@ -1,0 +1,53 @@
+"""Drop-in CLI: accepts the reference GeneEvolve flag set
+(`/root/reference/src/Main.cpp:124-199`) so the Examples.zip scenario scripts
+run unmodified against this engine.
+
+    python -m geneevolve_tpu --file_gen_info ... --file_hap_name ... [flags]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+from geneevolve_tpu.config import ConfigError, parse_args
+
+_HELP = """geneevolve-tpu — TPU-native forward-time whole-genome simulator
+
+Required (per population; separate populations with --next_population):
+  --file_gen_info <file>      generation schedule (6 columns)
+  --file_hap_name <file> | --file_ref_vcf <file>
+  --file_recom_map <file>
+  --file_cv_info <file>       (repeatable, one per phenotype)
+  --file_cvs <file>           (repeatable, one per phenotype)
+
+Optional per phenotype (repeatable): --va --vd --vc --ve --vf --omega --beta --lambda
+Optional per population: --file_mutation_map --MM <p> --RM
+Global: --gamma (per phenotype) --file_migration --avoid_inbreeding
+        --vt_type {1,2} --seed <n> --prefix <s> --debug
+Output: --out_hap --out_plink --out_plink01 --out_vcf --out_interval
+        --file_output_generations <file> --no_output
+"""
+
+
+def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if not argv or any(a in ("--help", "-h", "?") for a in argv):
+        print(_HELP)
+        return 0
+    t0 = time.time()
+    try:
+        cfg = parse_args(argv)
+    except ConfigError as e:
+        print(f"Error: {e}", file=sys.stderr)
+        return 1
+    from geneevolve_tpu.core.engine import Simulation  # defer jax init
+
+    sim = Simulation(cfg)
+    sim.run()
+    print(f" Total time: {time.time() - t0:.1f} s")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,915 @@
+"""Simulation driver: the TPU-native equivalent of `Simulation::run`
+(`/root/reference/src/Simulation.cpp:68-161`).
+
+Per-generation control flow mirrors `sim_next_generation`
+(`Simulation.cpp:1890-2082`): mate -> reproduce -> A/D -> phenotypes ->
+gamma -> MV/SV -> migration -> snapshots -> info files -> optional genotype
+output. The genome work (meiosis merges, CV gathers, A/D reductions) runs as
+jitted JAX on the default backend; pairing and the O(n) phenotype algebra run
+on host in float64.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from geneevolve_tpu.config import ScenarioConfig
+from geneevolve_tpu.core import mating, phenotype, segments
+from geneevolve_tpu.core.rng import Stage, np_seed, root_key, stage_key
+from geneevolve_tpu.core.segments import ChromMaps
+from geneevolve_tpu.io import hap as hap_io
+from geneevolve_tpu.io import tables
+from geneevolve_tpu.io import vcf as vcf_io
+
+
+# --------------------------------------------------------------------------
+# jitted genome kernels
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "xo_lambda",
+        "bin_width",
+        "mut_lambda",
+        "s_cap",
+        "m_cap",
+        "xo_cap",
+        "mn_cap",
+    ),
+)
+def _reproduce_chr(
+    par_st,
+    par_hap,
+    par_mut,
+    father,
+    mother,
+    key,
+    bp,
+    xo_cum,
+    xo_lambda,
+    bin_width,
+    mut_bp,
+    mut_cum,
+    mut_lambda,
+    s_cap: int,
+    m_cap: int,
+    xo_cap: int,
+    mn_cap: int,
+):
+    """One chromosome of `reproduce` (`Simulation.cpp:2394-2493`) for all
+    children at once."""
+    nc = father.shape[0]
+    k_xo_f, k_xo_m, k_sh, k_mp, k_mc = jax.random.split(key, 5)
+    xo_f = segments.sample_point_process(
+        k_xo_f, nc, xo_cap, xo_cum, xo_lambda, bp, bin_width, False
+    )
+    xo_m = segments.sample_point_process(
+        k_xo_m, nc, xo_cap, xo_cum, xo_lambda, bp, bin_width, False
+    )
+    sh = jax.random.randint(k_sh, (nc, 2), 0, 2)
+    st0, hap0, nv0 = segments.meiose(
+        par_st[father], par_hap[father], xo_f, sh[:, 0], s_cap
+    )
+    st1, hap1, nv1 = segments.meiose(
+        par_st[mother], par_hap[mother], xo_m, sh[:, 1], s_cap
+    )
+    child_st = jnp.stack([st0, st1], axis=1)
+    child_hap = jnp.stack([hap0, hap1], axis=1)
+
+    new = segments.sample_point_process(
+        k_mp, nc, mn_cap, mut_cum, mut_lambda, mut_bp, 0, True
+    )
+    which = jax.random.randint(k_mc, (nc, mn_cap), 0, 2)
+    new_f = jnp.sort(jnp.where(which == 0, new, segments._big()), axis=1)
+    new_m = jnp.sort(jnp.where(which == 1, new, segments._big()), axis=1)
+    mut0, nm0 = segments.inherit_mutations(
+        par_mut[father], xo_f, sh[:, 0], new_f, m_cap
+    )
+    mut1, nm1 = segments.inherit_mutations(
+        par_mut[mother], xo_m, sh[:, 1], new_m, m_cap
+    )
+    child_mut = jnp.stack([mut0, mut1], axis=1)
+    seg_used = jnp.maximum(jnp.max(nv0), jnp.max(nv1))
+    mut_used = jnp.maximum(jnp.max(nm0), jnp.max(nm1))
+    return child_st, child_hap, child_mut, seg_used, mut_used
+
+
+@jax.jit
+def _cv_genotypes(seg_st, seg_hap, mut, cv_bp, founder_cv, pop_starts):
+    """CV alleles + effect-source population per chromatid: the vectorized
+    `ras_find_cv` (`Simulation.cpp:2752-2815`)."""
+    hidx = segments.hap_at(seg_st, seg_hap, cv_bp)  # (n, 2, ncv)
+    ncv = cv_bp.shape[0]
+    g = founder_cv[hidx, jnp.arange(ncv)[None, None, :]]
+    flip = segments.mutation_flip_mask(mut, jnp.broadcast_to(cv_bp, hidx.shape))
+    c = jnp.where(flip, 1 - g, g)
+    root = jnp.searchsorted(pop_starts, hidx, side="right") - 1
+    return c.astype(jnp.uint8), root.astype(jnp.int32)
+
+
+# --------------------------------------------------------------------------
+# runtime state
+
+
+@dataclass
+class PhenoScheme:
+    """Static per-phenotype data for one population."""
+
+    cv_bp: List[np.ndarray]  # per chr
+    a: List[np.ndarray]  # per chr, this population's additive effects
+    d: List[np.ndarray]
+    founder_cv: List[np.ndarray]  # per chr (2n0, ncv) uint8, this pop's founders
+    va: float
+    vd: float
+    vc: float
+    ve: float
+    vf: float
+    omega: float
+    beta: float
+    lambda_: float
+
+
+@dataclass
+class PopState:
+    """One population's current generation."""
+
+    n: int
+    seg_st: List[jax.Array]  # per chr (n, 2, S)
+    seg_hap: List[jax.Array]
+    mut: List[jax.Array]  # per chr (n, 2, M)
+    sex: np.ndarray  # (n,) 1/2
+    ids: np.ndarray  # (n,) 0-based birth id
+    ped: Dict[str, np.ndarray]  # father, mother, ff, fm, mf, mm
+    comp: Dict[str, np.ndarray]  # A D G C E F P -> (npheno, n)
+    mv: np.ndarray
+    sv: np.ndarray  # standardized selection value
+    svf: np.ndarray  # selection probability
+
+
+@dataclass
+class PopRuntime:
+    index: int
+    schedule: tables.GenerationSchedule
+    chrs: List[int]
+    rmaps: Dict[int, tables.RecombinationMap]
+    maps: List[ChromMaps]  # ordered as chrs
+    phenos: List[PhenoScheme]
+    indv_ids: List[str]
+    n_founders: int
+    hap_offset: int  # global founder-hap index offset
+    mm_percent: float
+    rm: bool
+    hap_addresses: List = field(default_factory=list)  # (chr, hap, legend, indv)
+    vcf_addresses: List = field(default_factory=list)  # (chr, vcf)
+    state: Optional[PopState] = None
+    prev_phen: Optional[np.ndarray] = None  # (npheno, n_prev) by position
+    prev_F: Optional[np.ndarray] = None
+    var_a_gen0: Optional[np.ndarray] = None  # (npheno,)
+    var_d_gen0: Optional[np.ndarray] = None
+    sv_mean_gen0: float = 0.0
+    sv_var_gen0: float = 0.0
+    traj: Dict[str, np.ndarray] = field(default_factory=dict)
+
+
+class SimulationError(RuntimeError):
+    pass
+
+
+class Simulation:
+    """End-to-end scenario runner."""
+
+    def __init__(self, cfg: ScenarioConfig, verbose: bool = True):
+        self.cfg = cfg
+        self.verbose = verbose
+        self.key = root_key(cfg.seed)
+        self.n_pop = cfg.n_pop
+        self.n_pheno = cfg.n_pheno
+        self.vt_type = cfg.vt_type
+        self.pops: List[PopRuntime] = []
+        self._load()
+
+    def _log(self, msg: str) -> None:
+        if self.verbose:
+            print(msg, flush=True)
+
+    # ------------------------------------------------------------------ load
+    def _load(self) -> None:
+        cfg = self.cfg
+        hap_offset = 0
+        tot_gen = None
+        for ipop, pcfg in enumerate(cfg.populations):
+            schedule = tables.read_generation_info(pcfg.file_gen_info)
+            if tot_gen is None:
+                tot_gen = schedule.n_generations
+            elif tot_gen != schedule.n_generations:
+                raise SimulationError(
+                    "the number of generations differs between populations"
+                )
+            if pcfg.file_ref_vcf:
+                addresses = tables.read_vcf_address(pcfg.file_ref_vcf)
+                chrs = [a[0] for a in addresses]
+                indv_ids = vcf_io.read_header_samples(addresses[0][1])
+                hap_addr, vcf_addr = [], addresses
+            else:
+                hap_addr = tables.read_hap_address(pcfg.file_hap_name)
+                vcf_addr = []
+                chrs = [a[0] for a in hap_addr]
+                indv_ids = hap_io.read_indv(hap_addr[0][3])
+            rmaps = tables.read_recom_map(pcfg.file_recom_map, chrs)
+            mmaps = (
+                tables.read_mutation_map(pcfg.file_mutation_map, chrs)
+                if pcfg.file_mutation_map
+                else None
+            )
+            maps = [
+                ChromMaps.build(c, rmaps[c], mmaps[c] if mmaps else None)
+                for c in chrs
+            ]
+            phenos = []
+            n_founders = None
+            for ph in pcfg.phenotypes:
+                cv_info = tables.read_cv_info(ph.file_cv_info, chrs)
+                cv_addr = tables.read_cvs_address(ph.file_cvs, chrs)
+                founder_cv, cv_bp, a_eff, d_eff = [], [], [], []
+                for c in chrs:
+                    mat = hap_io.read_hap(cv_addr[c])  # (2n0, ncv_chr)
+                    if mat.shape[1] != len(cv_info[c].bp):
+                        raise SimulationError(
+                            "number of CVs in cv.hap and cv.info files are "
+                            f"not equal (chr {c})"
+                        )
+                    if n_founders is None:
+                        n_founders = mat.shape[0] // 2
+                    elif n_founders != mat.shape[0] // 2:
+                        raise SimulationError(
+                            "founder count differs between CV hap files"
+                        )
+                    founder_cv.append(mat)
+                    cv_bp.append(cv_info[c].bp)
+                    a_eff.append(cv_info[c].a)
+                    d_eff.append(cv_info[c].d)
+                phenos.append(
+                    PhenoScheme(
+                        cv_bp=cv_bp,
+                        a=a_eff,
+                        d=d_eff,
+                        founder_cv=founder_cv,
+                        va=ph.va,
+                        vd=ph.vd,
+                        vc=ph.vc,
+                        ve=ph.ve,
+                        vf=ph.vf,
+                        omega=ph.omega,
+                        beta=ph.beta,
+                        lambda_=ph.lambda_,
+                    )
+                )
+            if n_founders is None:
+                raise SimulationError("no phenotypes configured")
+            self.pops.append(
+                PopRuntime(
+                    index=ipop,
+                    schedule=schedule,
+                    chrs=chrs,
+                    rmaps=rmaps,
+                    maps=maps,
+                    phenos=phenos,
+                    indv_ids=list(indv_ids),
+                    n_founders=n_founders,
+                    hap_offset=hap_offset,
+                    mm_percent=pcfg.mm_percent,
+                    rm=pcfg.rm,
+                    hap_addresses=hap_addr,
+                    vcf_addresses=vcf_addr,
+                )
+            )
+            hap_offset += 2 * n_founders
+
+        self.tot_gen = int(tot_gen)
+        self.chrs = self.pops[0].chrs
+        for p in self.pops[1:]:
+            if p.chrs != self.chrs:
+                raise SimulationError(
+                    "all populations must use the same chromosome set"
+                )
+        self.pop_starts = jnp.asarray(
+            np.array([p.hap_offset for p in self.pops]), dtype=jnp.int32
+        )
+        # global CV matrices + per-pop effect tables per (pheno, chr)
+        self.global_cv: List[List[jax.Array]] = []  # [pheno][chr] (H, ncv)
+        self.eff_a: List[List[jax.Array]] = []  # [pheno][chr] (npop, ncv)
+        self.eff_d: List[List[jax.Array]] = []
+        self.cv_bp_dev: List[List[jax.Array]] = []
+        for j in range(self.n_pheno):
+            gc, ga, gd, gb = [], [], [], []
+            for ic, c in enumerate(self.chrs):
+                bp0 = self.pops[0].phenos[j].cv_bp[ic]
+                for p in self.pops[1:]:
+                    if not np.array_equal(p.phenos[j].cv_bp[ic], bp0):
+                        raise SimulationError(
+                            "CV positions must agree across populations "
+                            f"(phenotype {j + 1}, chr {c})"
+                        )
+                gc.append(
+                    jnp.asarray(
+                        np.concatenate(
+                            [p.phenos[j].founder_cv[ic] for p in self.pops]
+                        ),
+                        dtype=jnp.uint8,
+                    )
+                )
+                ga.append(
+                    jnp.asarray(
+                        np.stack([p.phenos[j].a[ic] for p in self.pops]),
+                        dtype=jnp.float32,
+                    )
+                )
+                gd.append(
+                    jnp.asarray(
+                        np.stack([p.phenos[j].d[ic] for p in self.pops]),
+                        dtype=jnp.float32,
+                    )
+                )
+                gb.append(jnp.asarray(bp0, dtype=segments.pos_dtype()))
+            self.global_cv.append(gc)
+            self.eff_a.append(ga)
+            self.eff_d.append(gd)
+            self.cv_bp_dev.append(gb)
+
+        # migration / output-generation list
+        self.migration = (
+            tables.read_migration(cfg.file_migration, self.n_pop, self.tot_gen)
+            if self.n_pop > 1
+            else None
+        )
+        self.out_gens = (
+            tables.read_output_generations(cfg.file_output_generations)
+            if cfg.file_output_generations
+            else []
+        )
+
+        # capacities
+        G = self.tot_gen
+        self.s_cap: List[int] = []
+        self.m_cap: List[int] = []
+        self.xo_cap: List[int] = []
+        self.mn_cap: List[int] = []
+        for ic, _ in enumerate(self.chrs):
+            L = max(m.xo_lambda for m in (p.maps[ic] for p in self.pops))
+            lam_m = max(m.mut_lambda for m in (p.maps[ic] for p in self.pops))
+            gl = max(G * L, 1.0)
+            self.s_cap.append(int(16 + np.ceil(gl + 8 * np.sqrt(gl))))
+            self.xo_cap.append(int(8 + np.ceil(L + 6 * np.sqrt(max(L, 1.0)))))
+            gm = G * lam_m
+            self.m_cap.append(int(8 + np.ceil(gm + 6 * np.sqrt(max(gm, 1.0)))))
+            self.mn_cap.append(
+                int(4 + np.ceil(lam_m + 6 * np.sqrt(max(lam_m, 0.25))))
+            )
+
+        # trajectories
+        for p in self.pops:
+            z = np.zeros((self.n_pheno, G + 1))
+            p.traj = {
+                k: z.copy() for k in ("var_A", "var_D", "var_G", "var_C",
+                                       "var_E", "var_F", "var_P", "h2")
+            }
+            p.traj["var_mv"] = np.zeros(G + 1)
+            p.traj["var_sv"] = np.zeros(G + 1)
+
+    # ------------------------------------------------------------------ gen0
+    def init_generation0(self) -> None:
+        for p in self.pops:
+            n = p.n_founders
+            seg_st, seg_hap, mut = [], [], []
+            for ic, _ in enumerate(self.chrs):
+                st, hp = segments.init_gen0_ledger(
+                    n, p.maps[ic].chr_start, p.hap_offset, self.s_cap[ic]
+                )
+                seg_st.append(st)
+                seg_hap.append(hp)
+                mut.append(segments.empty_mutations(n, self.m_cap[ic]))
+            rng_sex = np.random.default_rng(
+                np_seed(self.cfg.seed, 0, Stage.INIT_SEX, p.index)
+            )
+            ids = np.arange(n, dtype=np.int64)
+            p.state = PopState(
+                n=n,
+                seg_st=seg_st,
+                seg_hap=seg_hap,
+                mut=mut,
+                sex=rng_sex.integers(1, 3, size=n).astype(np.int8),
+                ids=ids,
+                ped={k: ids.copy() for k in ("father", "mother", "ff", "fm",
+                                              "mf", "mm")},
+                comp={},
+                mv=np.zeros(n),
+                sv=np.zeros(n),
+                svf=np.ones(n),
+            )
+            # A/D, then phenotype assembly with gen-0 conventions
+            A_raw, D_raw = self._compute_ad(p)
+            p.var_a_gen0 = np.array([phenotype.var(A_raw[j]) for j in range(self.n_pheno)])
+            p.var_d_gen0 = np.array([phenotype.var(D_raw[j]) for j in range(self.n_pheno)])
+            p.prev_phen = np.zeros((self.n_pheno, n))
+            p.prev_F = np.zeros((self.n_pheno, n))
+            self._assemble_phenotypes(p, gen=0, A_raw=A_raw, D_raw=D_raw, plan=None)
+        self._apply_gamma()
+        for p in self.pops:
+            self._mating_selection_values(p, gen=0)
+        for p in self.pops:
+            p.prev_phen = p.state.comp["P"].copy()
+            p.prev_F = p.state.comp["F"].copy()
+            self._save_info(p, 0)
+            self._record_traj(p, 0)
+            # adjust beta from gen-0 variances (`Simulation.cpp:648-658`)
+            for j, ph in enumerate(p.phenos):
+                var_P = phenotype.var(p.state.comp["P"][j])
+                var_F = phenotype.var(p.state.comp["F"][j])
+                if self.vt_type == 1:
+                    ph.beta = float(np.sqrt(ph.vf / (2 * var_P))) if var_P > 0 else ph.beta
+                elif self.vt_type == 2 and var_F > 0:
+                    ph.beta = float(np.sqrt(ph.vf / (2 * var_F)))
+
+    # ----------------------------------------------------------------- A / D
+    def _compute_ad(self, p: PopRuntime):
+        """(npheno, n) raw additive & dominance values (`Simulation.cpp:2624-2749`)."""
+        st = p.state
+        A = np.zeros((self.n_pheno, st.n))
+        D = np.zeros((self.n_pheno, st.n))
+        for j in range(self.n_pheno):
+            dominance_on = jnp.asarray(p.phenos[j].vd != 0)
+            for ic in range(len(self.chrs)):
+                if self.global_cv[j][ic].shape[1] == 0:
+                    continue
+                c, root = _cv_genotypes(
+                    st.seg_st[ic],
+                    st.seg_hap[ic],
+                    st.mut[ic],
+                    self.cv_bp_dev[j][ic],
+                    self.global_cv[j][ic],
+                    self.pop_starts,
+                )
+                ncv = self.cv_bp_dev[j][ic].shape[0]
+                a_tab = self.eff_a[j][ic]
+                d_tab = self.eff_d[j][ic]
+                icv = jnp.arange(ncv)[None, :]
+                A_chr, D_chr = phenotype.additive_dominance_chr(
+                    c[:, 0],
+                    c[:, 1],
+                    a_tab[root[:, 0], icv],
+                    a_tab[root[:, 1], icv],
+                    d_tab[root[:, 0], icv],
+                    d_tab[root[:, 1], icv],
+                    dominance_on,
+                )
+                A[j] += np.asarray(A_chr, dtype=np.float64)
+                D[j] += np.asarray(D_chr, dtype=np.float64)
+        return A, D
+
+    # ------------------------------------------------------------ phenotypes
+    def _assemble_phenotypes(self, p, gen, A_raw, D_raw, plan) -> None:
+        """E/F/C/P assembly (`ras_scale_AD_compute_GEF`, `Simulation.cpp:3075-3206`)."""
+        st = p.state
+        n = st.n
+        comp = {k: np.zeros((self.n_pheno, n)) for k in "ADGCEFP"}
+        rng_e = np.random.default_rng(
+            np_seed(self.cfg.seed, gen, Stage.E_NOISE, p.index)
+        )
+        rng_f = np.random.default_rng(
+            np_seed(self.cfg.seed, gen, Stage.F_GEN0, p.index)
+        )
+        for j, ph in enumerate(p.phenos):
+            e_std = rng_e.standard_normal(n)
+            if gen == 0:
+                par_eff = (
+                    rng_f.normal(0.0, np.sqrt(ph.vf), size=n)
+                    if ph.vf > 0
+                    else np.zeros(n)
+                )
+                C = st.comp.get("C", None)
+                C = C[j] if C is not None else self._gen0_common(p, j, n)
+            else:
+                src = self.prev_for_vt(p)[j]
+                par_eff = ph.beta * (
+                    src[plan.child_father] + src[plan.child_mother]
+                )
+                C = st.comp["C"][j]
+            out = phenotype.scale_components(
+                A_raw[j],
+                D_raw[j],
+                e_std,
+                par_eff,
+                C,
+                ph.va,
+                ph.vd,
+                ph.ve,
+                ph.vf,
+                p.var_a_gen0[j],
+                p.var_d_gen0[j],
+            )
+            for k in comp:
+                comp[k][j] = out[k]
+        st.comp = comp
+
+    def _gen0_common(self, p: PopRuntime, j: int, n: int) -> np.ndarray:
+        ph = p.phenos[j]
+        if ph.vc <= 0:
+            return np.zeros(n)
+        rng_c = np.random.default_rng(
+            np_seed(self.cfg.seed, 0, Stage.INIT_COMMON, p.index * 131 + j)
+        )
+        return rng_c.normal(0.0, np.sqrt(ph.vc), size=n)
+
+    def prev_for_vt(self, p: PopRuntime) -> np.ndarray:
+        return p.prev_phen if self.vt_type == 1 else p.prev_F
+
+    def _mating_selection_values(self, p: PopRuntime, gen: int) -> None:
+        st = p.state
+        omega = np.array([ph.omega for ph in p.phenos])
+        lam = np.array([ph.lambda_ for ph in p.phenos])
+        mv, sv = phenotype.mating_selection_values(st.comp["P"], omega, lam)
+        st.mv = mv
+        if gen == 0:
+            p.sv_mean_gen0 = float(np.mean(sv))
+            p.sv_var_gen0 = phenotype.var(sv)
+        z = sv - p.sv_mean_gen0
+        if p.sv_var_gen0 > 0:
+            z = z / np.sqrt(p.sv_var_gen0)
+        st.sv = z
+        sched = p.schedule
+        if gen == 0:
+            st.svf = np.ones(st.n)
+        else:
+            g = gen - 1
+            st.svf = phenotype.selection_prob(
+                z,
+                gen,
+                sched.selection_func[g],
+                sched.selection_par1[g],
+                sched.selection_par2[g],
+            )
+
+    def _apply_gamma(self) -> None:
+        """Population-specific environmental offsets (`Simulation.cpp:3345-3381`)."""
+        if self.n_pop < 2:
+            return
+        for j, g in enumerate(self.cfg.gamma):
+            if g == 0:
+                continue
+            ah = phenotype.solve_gamma_offset(
+                [p.state.comp["P"][j] for p in self.pops], g
+            )
+            offs = phenotype.gamma_offsets(self.n_pop, ah)
+            for i, p in enumerate(self.pops):
+                p.state.comp["P"][j] += offs[i]
+
+    # ------------------------------------------------------------------ step
+    def step(self, gen: int) -> None:
+        g = gen - 1  # schedule row
+        for p in self.pops:
+            st = p.state
+            sched = p.schedule
+            pop_size = int(sched.pop_size[g])
+            rng_mate = np.random.default_rng(
+                np_seed(self.cfg.seed, gen, Stage.MATE, p.index)
+            )
+            if p.rm:
+                plan = mating.random_mate(rng_mate, st.svf, st.sex, pop_size)
+            else:
+                plan = mating.assort_mate(
+                    rng_mate,
+                    st.mv,
+                    st.svf,
+                    st.sex,
+                    st.ped,
+                    float(sched.mat_cor[g]),
+                    p.mm_percent,
+                    self.cfg.avoid_inbreeding,
+                    sched.offspring_dist[g],
+                    pop_size,
+                )
+            self._log(
+                f"      pop {p.index + 1} gen {gen}: couples={plan.n_couples} "
+                f"couple_cor_mv={plan.couple_cor_mating_value(st.mv):.3f}"
+            )
+            p.state = self._reproduce(p, gen, plan)
+            A_raw, D_raw = self._compute_ad(p)
+            self._assemble_phenotypes(p, gen, A_raw, D_raw, plan)
+        self._apply_gamma()
+        for p in self.pops:
+            self._mating_selection_values(p, gen)
+        if self.n_pop > 1:
+            self._migrate(gen)
+        for p in self.pops:
+            p.prev_phen = p.state.comp["P"].copy()
+            p.prev_F = p.state.comp["F"].copy()
+            self._save_info(p, gen)
+            self._record_traj(p, gen)
+        if gen in self.out_gens:
+            self.save_genotypes(gen)
+
+    def _reproduce(self, p: PopRuntime, gen: int, plan: mating.MatingPlan) -> PopState:
+        st = p.state
+        father = jnp.asarray(plan.child_father, dtype=jnp.int32)
+        mother = jnp.asarray(plan.child_mother, dtype=jnp.int32)
+        n_child = int(father.shape[0])
+        seg_st, seg_hap, mut = [], [], []
+        for ic in range(len(self.chrs)):
+            m = p.maps[ic]
+            key = stage_key(self.key, gen, Stage.CROSSOVER, p.index * 101 + ic)
+            while True:
+                c_st, c_hap, c_mut, seg_used, mut_used = _reproduce_chr(
+                    st.seg_st[ic],
+                    st.seg_hap[ic],
+                    st.mut[ic],
+                    father,
+                    mother,
+                    key,
+                    m.bp,
+                    m.xo_cum,
+                    m.xo_lambda,
+                    m.bin_width,
+                    m.mut_bp,
+                    m.mut_cum,
+                    m.mut_lambda,
+                    self.s_cap[ic],
+                    self.m_cap[ic],
+                    self.xo_cap[ic],
+                    self.mn_cap[ic],
+                )
+                grew = False
+                if int(seg_used) > self.s_cap[ic]:
+                    self.s_cap[ic] = int(seg_used * 3 // 2 + 8)
+                    st.seg_st[ic], st.seg_hap[ic] = _pad_ledger(
+                        st.seg_st[ic], st.seg_hap[ic], self.s_cap[ic]
+                    )
+                    grew = True
+                if int(mut_used) > self.m_cap[ic]:
+                    self.m_cap[ic] = int(mut_used * 3 // 2 + 8)
+                    st.mut[ic] = _pad_positions(st.mut[ic], self.m_cap[ic])
+                    grew = True
+                if not grew:
+                    break
+                self._log(
+                    f"      [capacity grow] chr {self.chrs[ic]}: "
+                    f"S={self.s_cap[ic]} M={self.m_cap[ic]}"
+                )
+            seg_st.append(c_st)
+            seg_hap.append(c_hap)
+            mut.append(c_mut)
+
+        rng_sex = np.random.default_rng(
+            np_seed(self.cfg.seed, gen, Stage.SEX, p.index)
+        )
+        rng_c = np.random.default_rng(
+            np_seed(self.cfg.seed, gen, Stage.COMMON, p.index)
+        )
+        ids = np.arange(n_child, dtype=np.int64)
+        fpos = plan.child_father
+        mpos = plan.child_mother
+        ped = {
+            "father": st.ids[fpos],
+            "mother": st.ids[mpos],
+            "ff": st.ped["father"][fpos],
+            "fm": st.ped["mother"][fpos],
+            "mf": st.ped["father"][mpos],
+            "mm": st.ped["mother"][mpos],
+        }
+        # common sibling effect shared within couples (`Simulation.cpp:2416-2429`)
+        C = np.zeros((self.n_pheno, n_child))
+        for j, ph in enumerate(p.phenos):
+            if ph.vc > 0:
+                per_couple = rng_c.normal(
+                    0.0, np.sqrt(ph.vc), size=plan.n_couples
+                )
+                C[j] = per_couple[plan.child_couple]
+        comp = {"C": C}
+        return PopState(
+            n=n_child,
+            seg_st=seg_st,
+            seg_hap=seg_hap,
+            mut=mut,
+            sex=rng_sex.integers(1, 3, size=n_child).astype(np.int8),
+            ids=ids,
+            ped=ped,
+            comp=comp,
+            mv=np.zeros(n_child),
+            sv=np.zeros(n_child),
+            svf=np.ones(n_child),
+        )
+
+    # -------------------------------------------------------------- migration
+    def _migrate(self, gen: int) -> None:
+        """Physical moves between populations (`Simulation.cpp:877-989`)."""
+        mats = self.migration[gen - 1]
+        rng_m = np.random.default_rng(
+            np_seed(self.cfg.seed, gen, Stage.MIGRATION, 0)
+        )
+        sizes = [p.state.n for p in self.pops]
+        leaving = []  # per source pop: (all_idx_sorted_desc, dest slices)
+        for i, p in enumerate(self.pops):
+            counts = [
+                0 if i == j else int(round(mats[i, j] * sizes[i]))
+                for j in range(self.n_pop)
+            ]
+            total = sum(counts)
+            sample = rng_m.choice(sizes[i], size=total, replace=False)
+            dests = np.repeat(
+                [j for j in range(self.n_pop) if j != i],
+                [counts[j] for j in range(self.n_pop) if j != i],
+            )
+            leaving.append((sample, dests))
+        # build new states
+        new_states = []
+        for j, pj in enumerate(self.pops):
+            keep = np.setdiff1d(
+                np.arange(sizes[j]), leaving[j][0], assume_unique=False
+            )
+            parts = [(self.pops[j], keep)]
+            for i, pi in enumerate(self.pops):
+                if i == j:
+                    continue
+                idx = leaving[i][0][leaving[i][1] == j]
+                if len(idx):
+                    parts.append((pi, idx))
+            new_states.append(self._gather_state(parts))
+        for p, s in zip(self.pops, new_states):
+            p.state = s
+            self._log(
+                f"      pop {p.index + 1} size after migration = {s.n}"
+            )
+
+    def _gather_state(self, parts) -> PopState:
+        """Concatenate selected rows of several populations' states."""
+        nchr = len(self.chrs)
+        seg_st = []
+        seg_hap = []
+        mut = []
+        for ic in range(nchr):
+            s_cap = self.s_cap[ic]
+            m_cap = self.m_cap[ic]
+            st_parts, hap_parts, mut_parts = [], [], []
+            for src, idx in parts:
+                idx_j = jnp.asarray(idx, dtype=jnp.int32)
+                a, b = _pad_ledger(
+                    src.state.seg_st[ic][idx_j], src.state.seg_hap[ic][idx_j], s_cap
+                )
+                st_parts.append(a)
+                hap_parts.append(b)
+                mut_parts.append(
+                    _pad_positions(src.state.mut[ic][idx_j], m_cap)
+                )
+            seg_st.append(jnp.concatenate(st_parts))
+            seg_hap.append(jnp.concatenate(hap_parts))
+            mut.append(jnp.concatenate(mut_parts))
+
+        def cat(get):
+            return np.concatenate([get(src.state)[..., idx] for src, idx in parts], axis=-1)
+
+        ped = {
+            k: np.concatenate([src.state.ped[k][idx] for src, idx in parts])
+            for k in parts[0][0].state.ped
+        }
+        comp = {
+            k: cat(lambda s, k=k: s.comp[k]) for k in parts[0][0].state.comp
+        }
+        return PopState(
+            n=sum(len(idx) for _, idx in parts),
+            seg_st=seg_st,
+            seg_hap=seg_hap,
+            mut=mut,
+            sex=np.concatenate([src.state.sex[idx] for src, idx in parts]),
+            ids=np.concatenate([src.state.ids[idx] for src, idx in parts]),
+            ped=ped,
+            comp=comp,
+            mv=cat(lambda s: s.mv),
+            sv=cat(lambda s: s.sv),
+            svf=cat(lambda s: s.svf),
+        )
+
+    # ------------------------------------------------------------- recording
+    def _record_traj(self, p: PopRuntime, gen: int) -> None:
+        st = p.state
+        for j in range(self.n_pheno):
+            for k in ("A", "D", "G", "C", "E", "F", "P"):
+                p.traj[f"var_{k}"][j, gen] = phenotype.var(st.comp[k][j])
+            vP = p.traj["var_P"][j, gen]
+            p.traj["h2"][j, gen] = (
+                p.traj["var_A"][j, gen] / vP if vP != 0 else np.nan
+            )
+        p.traj["var_mv"][gen] = phenotype.var(st.mv)
+        p.traj["var_sv"][gen] = phenotype.var(st.sv)
+
+    def _save_info(self, p: PopRuntime, gen: int) -> None:
+        """Per-individual info file, schema per `Population::ras_save_human_info`
+        (`Population.cpp:510-568`)."""
+        st = p.state
+        path = f"{self.cfg.prefix}.info.pop{p.index + 1}.gen{gen}.txt"
+        cols = ["ID", "ID_Father", "ID_Mother", "ID_Fathers_Father",
+                "ID_Fathers_Mother", "ID_Mothers_Father", "ID_Mothers_Mother",
+                "sex"]
+        for j in range(self.n_pheno):
+            cols += [f"ph{j + 1}_{k}" for k in ("A", "D", "G", "C", "E", "F", "P")]
+        cols += ["MV", "SV", "SV_f"]
+        with open(path, "w") as f:
+            f.write(" ".join(cols) + "\n")
+            id_cols = [
+                st.ids + 1,
+                st.ped["father"] + 1,
+                st.ped["mother"] + 1,
+                st.ped["ff"] + 1,
+                st.ped["fm"] + 1,
+                st.ped["mf"] + 1,
+                st.ped["mm"] + 1,
+                st.sex,
+            ]
+            val_cols = []
+            for j in range(self.n_pheno):
+                for k in ("A", "D", "G", "C", "E", "F", "P"):
+                    val_cols.append(st.comp[k][j])
+            val_cols += [st.mv, st.sv, st.svf]
+            ids_arr = np.stack(id_cols, axis=1)
+            vals_arr = np.stack(val_cols, axis=1)
+            for i in range(st.n):
+                f.write(
+                    " ".join(str(x) for x in ids_arr[i])
+                    + " "
+                    + " ".join(f"{x:g}" for x in vals_arr[i])
+                    + "\n"
+                )
+
+    def write_summary(self) -> None:
+        """`<prefix>.pop<i>.summary` (`Simulation.cpp:782-834`)."""
+        for p in self.pops:
+            path = f"{self.cfg.prefix}.pop{p.index + 1}.summary"
+            with open(path, "w") as f:
+                cols = ["gen"]
+                for j in range(self.n_pheno):
+                    cols += [
+                        f"ph{j + 1}_{k}"
+                        for k in ("var_A", "var_D", "var_G", "var_C", "var_E",
+                                  "var_F", "var_P", "h2", "var_G_std")
+                    ]
+                cols += ["var_mating_value", "var_selection_value"]
+                f.write(" ".join(cols) + "\n")
+                for gen in range(self.tot_gen + 1):
+                    row = [str(gen)]
+                    for j in range(self.n_pheno):
+                        for k in ("var_A", "var_D", "var_G", "var_C", "var_E",
+                                  "var_F", "var_P", "h2"):
+                            row.append(f"{p.traj[k][j, gen]:g}")
+                        g0 = p.traj["var_G"][j, 0]
+                        gstd = p.traj["var_G"][j, gen] / g0 if g0 else float("nan")
+                        row.append(f"{gstd:g}")
+                    row.append(f"{p.traj['var_mv'][gen]:g}")
+                    row.append(f"{p.traj['var_sv'][gen]:g}")
+                    f.write(" ".join(row) + "\n")
+
+    # --------------------------------------------------------------- outputs
+    def save_genotypes(self, gen: int) -> None:
+        from geneevolve_tpu.core import output
+
+        output.save_genotypes(self, gen)
+
+    # ------------------------------------------------------------------- run
+    def run(self) -> None:
+        self.init_generation0()
+        for gen in range(1, self.tot_gen + 1):
+            self._log(f"    Start generation {gen}")
+            self.step(gen)
+        self.write_summary()
+        if not self.out_gens and (
+            self.cfg.out_hap
+            or self.cfg.out_plink
+            or self.cfg.out_plink01
+            or self.cfg.out_vcf
+            or self.cfg.out_interval
+        ):
+            self.save_genotypes(self.tot_gen)
+
+
+def _pad_ledger(st, hap, cap):
+    cur = st.shape[-1]
+    if cur >= cap:
+        return st[..., :cap], hap[..., :cap]
+    pad = [(0, 0)] * (st.ndim - 1) + [(0, cap - cur)]
+    return (
+        jnp.pad(st, pad, constant_values=segments._big()),
+        jnp.pad(hap, pad, constant_values=0),
+    )
+
+
+def _pad_positions(x, cap):
+    cur = x.shape[-1]
+    if cur >= cap:
+        return x[..., :cap]
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, cap - cur)]
+    return jnp.pad(x, pad, constant_values=segments._big())

@@ -1,0 +1,198 @@
+"""Genotype materialization ("painting") and the output dispatcher.
+
+The segment ledger is painted over the founder panel with one device gather
+per (individual, locus) — the vectorized replacement for the reference's
+O(n·parts·m) interval-walk loops
+(`/root/reference/src/Simulation.cpp:1186-1230, 1308-1416, 1690-1758`).
+Founder panels are re-read per chromosome at output time for all populations
+(migration means anyone may carry anyone's founders,
+`Simulation.cpp:1105-1138`).
+
+Output naming matches the reference:
+`<prefix>.pop<i>.gen<g>.chr<c>.{hap,indv,ped,map,vcf,int}`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from geneevolve_tpu.core import segments
+from geneevolve_tpu.io import hap as hap_io
+from geneevolve_tpu.io import plink as plink_io
+from geneevolve_tpu.io import vcf as vcf_io
+
+_LOCI_CHUNK = 1 << 20
+
+
+@partial(jax.jit, static_argnames=())
+def _paint_chunk(seg_st, seg_hap, mut, founder, pos):
+    """(n, 2, mc) alleles for a loci chunk: founder-row gather + mutation XOR."""
+    rows = segments.hap_at(seg_st, seg_hap, pos)  # (n, 2, mc)
+    bits = founder[rows, jnp.arange(pos.shape[0])[None, None, :]]
+    flip = segments.mutation_flip_mask(mut, jnp.broadcast_to(pos, rows.shape))
+    return jnp.where(flip, 1 - bits, bits).astype(jnp.uint8)
+
+
+def paint_chromosome(
+    seg_st: jax.Array,  # (n, 2, S)
+    seg_hap: jax.Array,
+    mut: jax.Array,
+    founder: np.ndarray,  # (H, m) uint8, concatenated over populations
+    legend_pos: np.ndarray,  # (m,) int64
+) -> np.ndarray:
+    """(n, 2, m) uint8 simulated haplotypes."""
+    founder_d = jnp.asarray(founder, dtype=jnp.uint8)
+    m = len(legend_pos)
+    outs = []
+    for lo in range(0, m, _LOCI_CHUNK):
+        pos = jnp.asarray(
+            legend_pos[lo : lo + _LOCI_CHUNK], dtype=segments.pos_dtype()
+        )
+        outs.append(
+            np.asarray(
+                _paint_chunk(seg_st, seg_hap, mut, founder_d[:, lo : lo + _LOCI_CHUNK], pos)
+            )
+        )
+    return np.concatenate(outs, axis=2)
+
+
+def _load_founder_chr(sim, ic: int):
+    """Concatenated founder panel + per-pop legends for one chromosome."""
+    legends, panels = [], []
+    for p in sim.pops:
+        if p.vcf_addresses:
+            v = vcf_io.read_vcf(p.vcf_addresses[ic][1])
+            legends.append(v)
+            panels.append(v.hap)
+        else:
+            _, hap_path, legend_path, _ = p.hap_addresses[ic]
+            legends.append(hap_io.read_legend(legend_path))
+            panels.append(hap_io.read_hap(hap_path))
+    m0 = panels[0].shape[1]
+    for pan in panels[1:]:
+        if pan.shape[1] != m0:
+            raise RuntimeError(
+                "founder panels must have the same SNP count across "
+                "populations for genotype output"
+            )
+    return legends, np.concatenate(panels, axis=0)
+
+
+def save_genotypes(sim, gen: int) -> None:
+    cfg = sim.cfg
+    want_paint = cfg.out_hap or cfg.out_plink or cfg.out_plink01 or cfg.out_vcf
+    if want_paint:
+        for ic, chrom in enumerate(sim.chrs):
+            legends, founder = _load_founder_chr(sim, ic)
+            for p in sim.pops:
+                st = p.state
+                painted = paint_chromosome(
+                    st.seg_st[ic], st.seg_hap[ic], st.mut[ic],
+                    founder,
+                    _legend_pos(legends[p.index]),
+                )
+                base = f"{cfg.prefix}.pop{p.index + 1}.gen{gen}.chr{chrom}"
+                leg = legends[p.index]
+                if cfg.out_hap:
+                    hap_io.write_hap(
+                        base + ".hap",
+                        painted.reshape(st.n * 2, -1),
+                    )
+                    hap_io.write_indv(base + ".indv", st.ids + 1)
+                if cfg.out_plink or cfg.out_plink01:
+                    ids = plink_io.PedIds(
+                        fid=st.ped["father"] + 1,  # FID = father (`Simulation.cpp:1396`)
+                        iid=st.ids + 1,
+                        pid=st.ped["father"] + 1,
+                        mid=st.ped["mother"] + 1,
+                        sex=st.sex,
+                    )
+                    geno = np.moveaxis(painted, 1, 2)  # (n, m, 2)
+                    plink_io.write_ped_map(
+                        base,
+                        geno,
+                        ids,
+                        chrom,
+                        _legend_ids(leg),
+                        _legend_pos(leg),
+                        _legend_al0(leg),
+                        _legend_al1(leg),
+                        letters=cfg.out_plink,
+                    )
+                if cfg.out_vcf:
+                    n = st.n
+                    v = vcf_io.VcfData(
+                        samples=[f"g{gen}_{i + 1}" for i in st.ids],
+                        chrom=np.full(len(_legend_pos(leg)), str(chrom), dtype=object),
+                        pos=_legend_pos(leg),
+                        ids=_legend_ids(leg),
+                        ref=_legend_al0(leg),
+                        alt=_legend_al1(leg),
+                        qual=np.full(len(_legend_pos(leg)), ".", dtype=object),
+                        filt=np.full(len(_legend_pos(leg)), ".", dtype=object),
+                        info=np.full(len(_legend_pos(leg)), ".", dtype=object),
+                        fmt=np.full(len(_legend_pos(leg)), "GT", dtype=object),
+                        hap=painted.reshape(n * 2, -1),
+                        meta_lines=vcf_io.default_meta_lines(),
+                    )
+                    if isinstance(leg, vcf_io.VcfData):
+                        v.chrom = leg.chrom
+                        v.qual = leg.qual
+                        v.filt = leg.filt
+                    vcf_io.write_vcf(base + ".vcf", v)
+    if cfg.out_interval:
+        write_interval(sim, gen)
+
+
+def _legend_pos(leg):
+    return leg.pos
+
+
+def _legend_ids(leg):
+    return leg.ids
+
+
+def _legend_al0(leg):
+    return leg.ref if isinstance(leg, vcf_io.VcfData) else leg.al0
+
+
+def _legend_al1(leg):
+    return leg.alt if isinstance(leg, vcf_io.VcfData) else leg.al1
+
+
+def write_interval(sim, gen: int) -> None:
+    """IBD ground-truth dump, schema per `ras_write_hap_to_interval_format`
+    (`Simulation.cpp:1582-1639`). Adjacent same-founder segments are merged
+    (IBD-equivalent; the reference keeps crossover-split duplicates)."""
+    offsets = np.array([p.hap_offset for p in sim.pops])
+    indv_ids = [p.indv_ids for p in sim.pops]
+    for p in sim.pops:
+        st = p.state
+        for ic, chrom in enumerate(sim.chrs):
+            path = f"{sim.cfg.prefix}.pop{p.index + 1}.gen{gen}.chr{chrom}.int"
+            seg_st = np.asarray(st.seg_st[ic])  # (n, 2, S)
+            seg_hap = np.asarray(st.seg_hap[ic])
+            chr_end = p.maps[ic].chr_end
+            with open(path, "w") as f:
+                f.write("h_ID chr hap st en hap_index gen0_indv root_pop\n")
+                big = int(segments._big())
+                for i in range(st.n):
+                    for h in range(2):
+                        sts = seg_st[i, h]
+                        valid = sts < big
+                        k = int(valid.sum())
+                        ens = np.append(sts[1:k], chr_end)
+                        for s in range(k):
+                            ghap = int(seg_hap[i, h, s])
+                            rp = int(np.searchsorted(offsets, ghap, side="right") - 1)
+                            local = ghap - offsets[rp]
+                            indv = indv_ids[rp][local // 2]
+                            f.write(
+                                f"{st.ids[i] + 1} {chrom} {h} {sts[s]} {ens[s]} "
+                                f"{local + 1} {indv}.{local % 2 + 1} {rp + 1}\n"
+                            )

@@ -1,0 +1,249 @@
+"""Fixed-shape segment-ledger genome representation and vectorized meiosis.
+
+A chromatid is a sorted, fixed-capacity boundary array: `seg_st[k]` is the
+bp where segment k starts and `seg_hap[k]` the (global) founder haplotype it
+copies from; padding slots hold `BIG`. Lookup of "which founder hap covers
+bp q" is `seg_hap[searchsorted(seg_st, q, 'right') - 1]`.
+
+This is the TPU-native replacement for the reference's per-individual
+`vector<part>` interval lists (`/root/reference/src/Population.h:20-51`) and
+its sequential `recombine` walk (`/root/reference/src/Simulation.cpp:2903-2958`):
+meiosis becomes a sorted merge of three boundary arrays (the two parent
+chromatids' starts + the sampled crossover positions), fully vmapped over
+children.
+
+Crossover sampling follows `ras_sim_loc_rec`
+(`/root/reference/src/Simulation.cpp:2973-2995`): per-bin mass
+p_k = (cM_k - cM_{k-1})/100, a hit on bin k lands at `bp[k] + U[0, width)`.
+We draw a Poisson(Σp) point count and place points by inverse-CDF over bin
+masses — the Poisson-process limit of the reference's per-bin Bernoulli,
+identical to O(p²) per bin.
+
+Mutations follow `ras_add_mutation` (`Simulation.cpp:2497-2552`): per-bin
+Bernoulli(rate) → Poisson(Σrate) points, position uniform (inclusive) in
+[bp[i-1], bp[i]], assigned to a random chromatid of the newborn, carried as
+positions that flip the painted allele; inherited mutations survive iff the
+child actually copied the carrying region (`Simulation.cpp:2961-2970`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# padding sentinel for positions; larger than any bp, small enough to add to
+BIG = jnp.int64(2**62) if jax.config.jax_enable_x64 else jnp.int32(2**30)
+
+
+def _big() -> int:
+    return int(2**62) if jax.config.jax_enable_x64 else int(2**30)
+
+
+_POS_DTYPE = jnp.int64 if jax.config.jax_enable_x64 else jnp.int32
+
+
+def pos_dtype():
+    return jnp.int64 if jax.config.jax_enable_x64 else jnp.int32
+
+
+@dataclass(frozen=True)
+class ChromMaps:
+    """Static per-chromosome map data, device-resident."""
+
+    chrom: int
+    chr_start: int
+    chr_end: int
+    bin_width: int
+    bp: jax.Array  # (K,) bin anchors
+    xo_cum: jax.Array  # (K,) cumulative crossover bin mass
+    xo_lambda: float  # total crossover mass (Morgans for this chr)
+    # mutation map (empty arrays when absent)
+    mut_bp: jax.Array  # (Km,)
+    mut_cum: jax.Array  # (Km,) cumulative mutation bin mass
+    mut_lambda: float
+
+    @staticmethod
+    def build(chrom, rmap, mmap=None) -> "ChromMaps":
+        p = rmap.prob
+        if mmap is not None:
+            mrate = mmap.rate.copy()
+            mrate[0] = 0.0  # loop starts at bin 1 (`Simulation.cpp:2509`)
+            mut_bp = jnp.asarray(mmap.bp, dtype=pos_dtype())
+            mut_cum = jnp.asarray(np.cumsum(mrate), dtype=jnp.float32)
+            mut_lambda = float(mrate.sum())
+        else:
+            mut_bp = jnp.zeros((2,), dtype=pos_dtype())
+            mut_cum = jnp.zeros((2,), dtype=jnp.float32)
+            mut_lambda = 0.0
+        return ChromMaps(
+            chrom=int(chrom),
+            chr_start=int(rmap.bp[0]),
+            chr_end=int(rmap.bp[-1]),
+            bin_width=int(rmap.bin_width),
+            bp=jnp.asarray(rmap.bp, dtype=pos_dtype()),
+            xo_cum=jnp.asarray(np.cumsum(p), dtype=jnp.float32),
+            xo_lambda=float(p.sum()),
+            mut_bp=mut_bp,
+            mut_cum=mut_cum,
+            mut_lambda=mut_lambda,
+        )
+
+
+def init_gen0_ledger(
+    n: int, chr_start: int, hap_offset: int, capacity: int
+) -> Tuple[jax.Array, jax.Array]:
+    """Founder i's chromatids point wholly at founder haps 2i / 2i+1
+    (+ global offset), as in `ras_initial_human_gen0`
+    (`Simulation.cpp:3024-3035`)."""
+    st = jnp.full((n, 2, capacity), _big(), dtype=pos_dtype())
+    st = st.at[:, :, 0].set(chr_start)
+    hap = jnp.zeros((n, 2, capacity), dtype=jnp.int32)
+    base = hap_offset + 2 * jnp.arange(n, dtype=jnp.int32)
+    hap = hap.at[:, 0, 0].set(base)
+    hap = hap.at[:, 1, 0].set(base + 1)
+    return st, hap
+
+
+def empty_mutations(n: int, capacity: int) -> jax.Array:
+    return jnp.full((n, 2, capacity), _big(), dtype=pos_dtype())
+
+
+def sample_point_process(
+    key: jax.Array,
+    n: int,
+    cap: int,
+    cum: jax.Array,
+    lam: float,
+    bp: jax.Array,
+    width: int,
+    inclusive_bins: bool,
+) -> jax.Array:
+    """(n, cap) sorted positions padded with BIG.
+
+    Each row: Poisson(lam) points; bin j chosen with prob mass[j]; position
+    uniform within the bin. `inclusive_bins=False` = crossover convention
+    (`bp[j] + U[0,width)`); True = mutation convention (uniform over
+    [bp[j-1], bp[j]] inclusive)."""
+    if lam <= 0.0:
+        return jnp.full((n, cap), _big(), dtype=pos_dtype())
+    k1, k2, k3 = jax.random.split(key, 3)
+    counts = jnp.minimum(jax.random.poisson(k1, lam, (n,)), cap)
+    u = jax.random.uniform(k2, (n, cap), dtype=jnp.float32) * cum[-1]
+    bins = jnp.searchsorted(cum, u, side="right")
+    bins = jnp.minimum(bins, cum.shape[0] - 1)
+    v = jax.random.uniform(k3, (n, cap), dtype=jnp.float32)
+    if inclusive_bins:
+        lo = bp[bins - 1]
+        span = (bp[bins] - lo + 1).astype(jnp.float32)
+        pos = lo + jnp.floor(v * span).astype(pos_dtype())
+    else:
+        pos = bp[bins] + jnp.floor(v * width).astype(pos_dtype())
+    pos = jnp.where(jnp.arange(cap)[None, :] < counts[:, None], pos, _big())
+    return jnp.sort(pos, axis=1)
+
+
+def _active_at(xo: jax.Array, start_hap: jax.Array, q: jax.Array) -> jax.Array:
+    """Which parent chromatid the gamete copies at position(s) q."""
+    cnt = jnp.searchsorted(xo, q, side="right")
+    return (start_hap + cnt) % 2
+
+
+def meiose_one(
+    par_st: jax.Array,  # (2, S) parent chromatid boundary starts
+    par_hap: jax.Array,  # (2, S)
+    xo: jax.Array,  # (K,) sorted crossover positions (BIG padded)
+    start_hap: jax.Array,  # scalar 0/1
+    capacity: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """One gamete: returns (child_st (S,), child_hap (S,), n_valid)."""
+    S = par_st.shape[1]
+    K = xo.shape[0]
+    chr_start = par_st[0, 0]  # ledger invariant: first boundary = chr start
+    cand = jnp.concatenate([chr_start[None], xo, par_st[0], par_st[1]])
+    active = _active_at(xo, start_hap, cand)
+    src_valid = jnp.concatenate(
+        [
+            jnp.ones((1,), dtype=bool),
+            xo < _big(),
+            (par_st[0] < _big()) & (active[1 + K : 1 + K + S] == 0),
+            (par_st[1] < _big()) & (active[1 + K + S :] == 1),
+        ]
+    )
+    idx0 = jnp.searchsorted(par_st[0], cand, side="right") - 1
+    idx1 = jnp.searchsorted(par_st[1], cand, side="right") - 1
+    hap = jnp.where(active == 0, par_hap[0][idx0], par_hap[1][idx1])
+    st = jnp.where(src_valid, cand, _big())
+    order = jnp.argsort(st, stable=True)
+    st = st[order]
+    hap = hap[order]
+    # merge adjacent boundaries with identical founder hap (IBD-equivalent)
+    dup = jnp.concatenate(
+        [jnp.zeros((1,), dtype=bool), (hap[1:] == hap[:-1]) & (st[1:] < _big())]
+    )
+    st = jnp.where(dup, _big(), st)
+    order = jnp.argsort(st, stable=True)
+    st = st[order]
+    hap = hap[order]
+    n_valid = jnp.sum(st < _big())  # pre-truncation: lets the host detect overflow
+    return st[:capacity], hap[:capacity], n_valid
+
+
+# vmap over children: parent rows are pre-gathered per child
+meiose = jax.vmap(meiose_one, in_axes=(0, 0, 0, 0, None))
+
+
+def inherit_mutations_one(
+    par_mut: jax.Array,  # (2, M) parent's chromatid mutation positions
+    xo: jax.Array,  # (K,)
+    start_hap: jax.Array,
+    new_mut: jax.Array,  # (Mn,) new mutations for this gamete (BIG padded)
+    capacity: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Keep a parent mutation iff the gamete copied its region
+    (`modify_part_for_mutation_pos`, `Simulation.cpp:2961-2970`)."""
+    a0 = _active_at(xo, start_hap, par_mut[0])
+    a1 = _active_at(xo, start_hap, par_mut[1])
+    keep0 = jnp.where((par_mut[0] < _big()) & (a0 == 0), par_mut[0], _big())
+    keep1 = jnp.where((par_mut[1] < _big()) & (a1 == 1), par_mut[1], _big())
+    allm = jnp.sort(jnp.concatenate([keep0, keep1, new_mut]))
+    # dedupe repeated positions (the reference flips on membership, not count)
+    dup = jnp.concatenate(
+        [jnp.zeros((1,), dtype=bool), (allm[1:] == allm[:-1]) & (allm[1:] < _big())]
+    )
+    allm = jnp.sort(jnp.where(dup, _big(), allm))
+    n_valid = jnp.sum(allm < _big())
+    return allm[:capacity], n_valid
+
+
+inherit_mutations = jax.vmap(inherit_mutations_one, in_axes=(0, 0, 0, 0, None))
+
+
+def hap_at(seg_st: jax.Array, seg_hap: jax.Array, q: jax.Array) -> jax.Array:
+    """Founder hap covering position(s) q. seg_* are (..., S); q is (..., Q)
+    with matching leading dims (or broadcastable 1-D q)."""
+
+    def one(st, hp, qq):
+        return hp[jnp.searchsorted(st, qq, side="right") - 1]
+
+    lead = seg_st.shape[:-1]
+    if q.ndim == 1:
+        q = jnp.broadcast_to(q, lead + q.shape)
+    f = one
+    for _ in lead:
+        f = jax.vmap(f)
+    return f(
+        seg_st.reshape(lead + (-1,)),
+        seg_hap.reshape(lead + (-1,)),
+        q,
+    )
+
+
+def mutation_flip_mask(mut: jax.Array, q: jax.Array) -> jax.Array:
+    """(..., Q) bool: is there a carried mutation exactly at q?
+    Mutations only flip alleles at panel positions they coincide with
+    (`Simulation.cpp:2770-2775`, `:1218-1222`)."""
+    return jnp.any(mut[..., :, None] == q[..., None, :], axis=-2)
