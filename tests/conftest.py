@@ -1,13 +1,19 @@
 import os
 
 # Tests run on the CPU backend with 8 virtual devices so sharding tests work
-# anywhere; set before jax import.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# anywhere. The environment may pin an experimental platform via
+# JAX_PLATFORMS (and merges rather than honors overrides), so force it
+# through the config API before any backend initializes.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import sys
 import zipfile
