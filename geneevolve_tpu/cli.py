@@ -27,6 +27,7 @@ Global: --gamma (per phenotype) --file_migration --avoid_inbreeding
         --vt_type {1,2} --seed <n> --prefix <s> --debug
 Output: --out_hap --out_plink --out_plink01 --out_vcf --out_interval
         --file_output_generations <file> --no_output
+Checkpointing: --checkpoint_every <n> --resume <prefix>.ckpt.npz
 """
 
 

@@ -65,6 +65,8 @@ class ScenarioConfig:
     no_output: bool = False  # accepted for Examples.zip compat (reference v1.1.0 flag)
     file_output_generations: str = ""
     debug: bool = False
+    checkpoint_every: int = 0  # write <prefix>.ckpt.npz every N generations
+    resume: str = ""  # checkpoint file to restore and continue from
 
     @property
     def n_pop(self) -> int:
@@ -172,6 +174,10 @@ def parse_args(argv: List[str]) -> ScenarioConfig:
             cfg.no_output = True
         elif a == "--file_output_generations":
             cfg.file_output_generations = take_value(a)
+        elif a == "--checkpoint_every":
+            cfg.checkpoint_every = int(take_value(a))
+        elif a == "--resume":
+            cfg.resume = take_value(a)
         elif a in ("--help", "-h", "?", "nothing"):
             pass
         else:

@@ -881,10 +881,25 @@ class Simulation:
 
     # ------------------------------------------------------------------- run
     def run(self) -> None:
-        self.init_generation0()
-        for gen in range(1, self.tot_gen + 1):
+        from geneevolve_tpu.core import checkpoint
+
+        cfg = self.cfg
+        start_gen = 1
+        if cfg.resume:
+            # _load() already built maps/effect tables; the checkpoint
+            # restores state and every gen-0-frozen constant
+            done = checkpoint.load(self, cfg.resume)
+            start_gen = done + 1
+            self._log(f"    Resumed from {cfg.resume} after generation {done}")
+        else:
+            self.init_generation0()
+            if cfg.checkpoint_every:
+                checkpoint.save(self, 0, f"{cfg.prefix}.ckpt.npz")
+        for gen in range(start_gen, self.tot_gen + 1):
             self._log(f"    Start generation {gen}")
             self.step(gen)
+            if cfg.checkpoint_every and gen % cfg.checkpoint_every == 0:
+                checkpoint.save(self, gen, f"{cfg.prefix}.ckpt.npz")
         self.write_summary()
         if not self.out_gens and (
             self.cfg.out_hap

@@ -40,7 +40,7 @@ BLOCK_M = 8192  # loci per grid cell
 
 
 def _kernel(
-    parents_ref,  # scalar-prefetch (n, 2) int32
+    parents_ref,  # scalar-prefetch (2n,) int32, [f0, m0, f1, m1, ...]
     fatA_ref,  # VMEM (1, 1, BLOCK_M) uint8: father's chromatid A
     fatB_ref,  # VMEM (1, 1, BLOCK_M) uint8: father's chromatid B
     motA_ref,  # VMEM (1, 1, BLOCK_M) uint8
@@ -90,7 +90,9 @@ def meiose_planes_pallas(
 
     hapA3 = hapA.reshape(-1, 1, m)
     hapB3 = hapB.reshape(-1, 1, m)
-    parents = jnp.stack([fathers, mothers], axis=1).astype(jnp.int32)
+    # flat 1-D: SMEM pads prefetch operands to 512 B per *row*, so an (n, 2)
+    # table costs n*512 B and blows the 1 MB SMEM at a few thousand children
+    parents = jnp.stack([fathers, mothers], axis=1).astype(jnp.int32).reshape(-1)
     xo = jnp.stack([xo_p, xo_m], axis=1).astype(jnp.int32)  # (n, 2, n_chr, K)
     st = jnp.stack([st_p, st_m], axis=1).astype(jnp.int32)  # (n, 2, n_chr)
 
@@ -103,16 +105,16 @@ def meiose_planes_pallas(
             grid=grid,
             in_specs=[
                 pl.BlockSpec(
-                    (1, 1, BLOCK_M), lambda i, j, ps: (ps[i, 0], 0, j)
+                    (1, 1, BLOCK_M), lambda i, j, ps: (ps[2 * i], 0, j)
                 ),
                 pl.BlockSpec(
-                    (1, 1, BLOCK_M), lambda i, j, ps: (ps[i, 0], 0, j)
+                    (1, 1, BLOCK_M), lambda i, j, ps: (ps[2 * i], 0, j)
                 ),
                 pl.BlockSpec(
-                    (1, 1, BLOCK_M), lambda i, j, ps: (ps[i, 1], 0, j)
+                    (1, 1, BLOCK_M), lambda i, j, ps: (ps[2 * i + 1], 0, j)
                 ),
                 pl.BlockSpec(
-                    (1, 1, BLOCK_M), lambda i, j, ps: (ps[i, 1], 0, j)
+                    (1, 1, BLOCK_M), lambda i, j, ps: (ps[2 * i + 1], 0, j)
                 ),
                 pl.BlockSpec(
                     (1, 2, n_chr, K),

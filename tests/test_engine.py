@@ -1,0 +1,183 @@
+"""End-to-end engine tests on a tiny synthetic scenario (fast), including
+checkpoint/resume byte-identity."""
+
+import filecmp
+import os
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from geneevolve_tpu.config import parse_args
+from geneevolve_tpu.core.engine import Simulation
+
+
+@pytest.fixture(scope="module")
+def mini_scenario(tmp_path_factory):
+    """50 founders, 2 chromosomes x 200 SNPs, 4 generations, 1 phenotype."""
+    root = tmp_path_factory.mktemp("mini")
+    rng = np.random.default_rng(42)
+    n0, nsnp, ncv = 50, 200, 10
+    chrs = [1, 2]
+    hap_rows, cv_rows = [], []
+    for c in chrs:
+        hap = rng.integers(0, 2, size=(nsnp, 2 * n0))
+        np.savetxt(root / f"ref.chr{c}.hap", hap, fmt="%d")
+        pos = np.sort(rng.choice(np.arange(1_000_000, 50_000_000), nsnp, False))
+        with open(root / f"ref.chr{c}.legend", "w") as f:
+            f.write("id position a0 a1\n")
+            for i, p in enumerate(pos):
+                f.write(f"rs{c}_{i} {p} A G\n")
+        with open(root / f"ref.chr{c}.indv", "w") as f:
+            f.writelines(f"{i + 1}\n" for i in range(n0))
+        cv_cols = np.sort(rng.choice(nsnp, ncv, replace=False))
+        np.savetxt(root / f"cv.chr{c}.hap", hap[cv_cols], fmt="%d")
+        for i in cv_cols:
+            cv_rows.append((c, pos[i], rng.normal(), 0.0))
+        hap_rows.append(c)
+    with open(root / "cv.info", "w") as f:
+        f.write("chr pos a d\n")
+        for c, p, a, d in cv_rows:
+            f.write(f"{c} {p} {a} {d}\n")
+    with open(root / "hap_address.txt", "w") as f:
+        f.write("chr hap legend sample\n")
+        for c in chrs:
+            f.write(
+                f"{c} {root}/ref.chr{c}.hap {root}/ref.chr{c}.legend "
+                f"{root}/ref.chr{c}.indv\n"
+            )
+    with open(root / "cv_address.txt", "w") as f:
+        for c in chrs:
+            f.write(f"{c} {root}/cv.chr{c}.hap\n")
+    with open(root / "popinfo.txt", "w") as f:
+        f.write(
+            "pop_size mat_cor offspring_dist selection_func "
+            "selection_func_par1 selection_func_par2\n"
+        )
+        for _ in range(4):
+            f.write("60 0.2 p thr 1 1\n")
+    with open(root / "rmap.txt", "w") as f:
+        f.write("chr bp cM\n")
+        for c in chrs:
+            for bp in range(0, 60_000_000, 50_000):
+                f.write(f"{c} {bp} {bp / 1_000_000:.6f}\n")
+    return root
+
+
+def _run(root: Path, outdir: Path, extra=()):
+    args = [
+        "--file_gen_info", str(root / "popinfo.txt"),
+        "--file_hap_name", str(root / "hap_address.txt"),
+        "--file_recom_map", str(root / "rmap.txt"),
+        "--file_cv_info", str(root / "cv.info"),
+        "--file_cvs", str(root / "cv_address.txt"),
+        "--seed", "777",
+        "--prefix", str(outdir / "out"),
+        *extra,
+    ]
+    cfg = parse_args(args)
+    sim = Simulation(cfg, verbose=False)
+    sim.run()
+    return sim
+
+
+def test_mini_run_outputs(mini_scenario, tmp_path):
+    sim = _run(mini_scenario, tmp_path, ["--out_interval"])
+    summary = (tmp_path / "out.pop1.summary").read_text().splitlines()
+    assert len(summary) == 6  # header + gens 0..4
+    hdr = summary[0].split()
+    assert hdr[0] == "gen" and "ph1_var_A" in hdr
+    # gen-0 scaling: var_E == ve == 1 at every generation
+    for line in summary[1:]:
+        vals = dict(zip(hdr, line.split()))
+        assert abs(float(vals["ph1_var_E"]) - 1.0) < 1e-6
+    for g in range(5):
+        info = tmp_path / f"out.info.pop1.gen{g}.txt"
+        assert info.exists()
+        n_lines = len(info.read_text().splitlines())
+        assert n_lines == (51 if g == 0 else 61)
+    assert (tmp_path / "out.pop1.gen4.chr1.int").exists()
+
+
+def test_same_seed_identical(mini_scenario, tmp_path):
+    d1, d2 = tmp_path / "a", tmp_path / "b"
+    d1.mkdir(), d2.mkdir()
+    _run(mini_scenario, d1)
+    _run(mini_scenario, d2)
+    assert filecmp.cmp(
+        d1 / "out.pop1.summary", d2 / "out.pop1.summary", shallow=False
+    )
+    assert filecmp.cmp(
+        d1 / "out.info.pop1.gen4.txt", d2 / "out.info.pop1.gen4.txt",
+        shallow=False,
+    )
+
+
+def test_checkpoint_resume_bit_identical(mini_scenario, tmp_path):
+    from geneevolve_tpu.core import checkpoint
+
+    straight = tmp_path / "straight"
+    ck = tmp_path / "ck"
+    straight.mkdir(), ck.mkdir()
+    _run(mini_scenario, straight)
+
+    # run only through gen 2, checkpointing, by saving at 2 and stopping
+    cfg = parse_args([
+        "--file_gen_info", str(mini_scenario / "popinfo.txt"),
+        "--file_hap_name", str(mini_scenario / "hap_address.txt"),
+        "--file_recom_map", str(mini_scenario / "rmap.txt"),
+        "--file_cv_info", str(mini_scenario / "cv.info"),
+        "--file_cvs", str(mini_scenario / "cv_address.txt"),
+        "--seed", "777",
+        "--prefix", str(ck / "out"),
+    ])
+    sim = Simulation(cfg, verbose=False)
+    sim.init_generation0()
+    for gen in (1, 2):
+        sim.step(gen)
+    checkpoint.save(sim, 2, str(ck / "out.ckpt.npz"))
+
+    # fresh process-equivalent: new Simulation resuming from the checkpoint
+    cfg2 = parse_args([
+        "--file_gen_info", str(mini_scenario / "popinfo.txt"),
+        "--file_hap_name", str(mini_scenario / "hap_address.txt"),
+        "--file_recom_map", str(mini_scenario / "rmap.txt"),
+        "--file_cv_info", str(mini_scenario / "cv.info"),
+        "--file_cvs", str(mini_scenario / "cv_address.txt"),
+        "--seed", "777",
+        "--prefix", str(ck / "out"),
+        "--resume", str(ck / "out.ckpt.npz"),
+    ])
+    sim2 = Simulation(cfg2, verbose=False)
+    sim2.run()
+
+    assert filecmp.cmp(
+        straight / "out.pop1.summary", ck / "out.pop1.summary", shallow=False
+    )
+    for g in (3, 4):
+        assert filecmp.cmp(
+            straight / f"out.info.pop1.gen{g}.txt",
+            ck / f"out.info.pop1.gen{g}.txt",
+            shallow=False,
+        )
+
+
+def test_checkpoint_rejects_wrong_seed(mini_scenario, tmp_path):
+    from geneevolve_tpu.core import checkpoint
+
+    d = tmp_path / "x"
+    d.mkdir()
+    sim = _run(mini_scenario, d)
+    checkpoint.save(sim, 4, str(d / "out.ckpt.npz"))
+    cfg = parse_args([
+        "--file_gen_info", str(mini_scenario / "popinfo.txt"),
+        "--file_hap_name", str(mini_scenario / "hap_address.txt"),
+        "--file_recom_map", str(mini_scenario / "rmap.txt"),
+        "--file_cv_info", str(mini_scenario / "cv.info"),
+        "--file_cvs", str(mini_scenario / "cv_address.txt"),
+        "--seed", "778",
+        "--prefix", str(d / "out2"),
+    ])
+    sim2 = Simulation(cfg, verbose=False)
+    with pytest.raises(RuntimeError, match="seed"):
+        checkpoint.load(sim2, str(d / "out.ckpt.npz"))
