@@ -1,0 +1,110 @@
+"""Multi-population tests: migration bookkeeping and gamma offsets."""
+
+import numpy as np
+import pytest
+
+from geneevolve_tpu.config import parse_args
+from geneevolve_tpu.core.engine import Simulation
+
+
+@pytest.fixture(scope="module")
+def duo_scenario(tmp_path_factory):
+    """Two populations, 40 founders each, 1 chromosome x 120 SNPs, 3 gens,
+    10% symmetric migration."""
+    root = tmp_path_factory.mktemp("duo")
+    rng = np.random.default_rng(7)
+    n0, nsnp, ncv = 40, 120, 8
+    pos = np.sort(rng.choice(np.arange(1_000_000, 40_000_000), nsnp, False))
+    cv_cols = np.sort(rng.choice(nsnp, ncv, replace=False))
+    for p in (1, 2):
+        hap = rng.integers(0, 2, size=(nsnp, 2 * n0))
+        np.savetxt(root / f"p{p}.ref.chr1.hap", hap, fmt="%d")
+        with open(root / f"p{p}.ref.chr1.legend", "w") as f:
+            f.write("id position a0 a1\n")
+            for i, q in enumerate(pos):
+                f.write(f"rs{i} {q} A G\n")
+        with open(root / f"p{p}.ref.chr1.indv", "w") as f:
+            f.writelines(f"p{p}i{i + 1}\n" for i in range(n0))
+        np.savetxt(root / f"p{p}.cv.chr1.hap", hap[cv_cols], fmt="%d")
+        with open(root / f"p{p}.hap_address.txt", "w") as f:
+            f.write("chr hap legend sample\n")
+            f.write(
+                f"1 {root}/p{p}.ref.chr1.hap {root}/p{p}.ref.chr1.legend "
+                f"{root}/p{p}.ref.chr1.indv\n"
+            )
+        with open(root / f"p{p}.cv_address.txt", "w") as f:
+            f.write(f"1 {root}/p{p}.cv.chr1.hap\n")
+    with open(root / "cv.info", "w") as f:
+        f.write("chr pos a d\n")
+        for i in cv_cols:
+            f.write(f"1 {pos[i]} {rng.normal()} 0\n")
+    with open(root / "popinfo.txt", "w") as f:
+        f.write(
+            "pop_size mat_cor offspring_dist selection_func "
+            "selection_func_par1 selection_func_par2\n"
+        )
+        for _ in range(3):
+            f.write("50 0 p thr 1 1\n")
+    with open(root / "rmap.txt", "w") as f:
+        f.write("chr bp cM\n")
+        for bp in range(0, 50_000_000, 50_000):
+            f.write(f"1 {bp} {bp / 1_000_000:.6f}\n")
+    with open(root / "migration.txt", "w") as f:
+        # one row per generation, n_pop^2 columns, rows of the matrix
+        # row-stochastic: [m11 m12 m21 m22]
+        for _ in range(3):
+            f.write("0.9 0.1 0.1 0.9\n")
+    return root
+
+
+def _args(root, outdir, extra=()):
+    return [
+        "--file_gen_info", str(root / "popinfo.txt"),
+        "--file_hap_name", str(root / "p1.hap_address.txt"),
+        "--file_recom_map", str(root / "rmap.txt"),
+        "--file_cv_info", str(root / "cv.info"),
+        "--file_cvs", str(root / "p1.cv_address.txt"),
+        "--next_population",
+        "--file_gen_info", str(root / "popinfo.txt"),
+        "--file_hap_name", str(root / "p2.hap_address.txt"),
+        "--file_recom_map", str(root / "rmap.txt"),
+        "--file_cv_info", str(root / "cv.info"),
+        "--file_cvs", str(root / "p2.cv_address.txt"),
+        "--file_migration", str(root / "migration.txt"),
+        "--seed", "99",
+        "--prefix", str(outdir / "out"),
+        *extra,
+    ]
+
+
+def test_two_pop_migration_run(duo_scenario, tmp_path):
+    cfg = parse_args(_args(duo_scenario, tmp_path, ["--out_interval"]))
+    assert cfg.n_pop == 2
+    sim = Simulation(cfg, verbose=False)
+    sim.run()
+    for p in (1, 2):
+        assert (tmp_path / f"out.pop{p}.summary").exists()
+        assert (tmp_path / f"out.info.pop{p}.gen3.txt").exists()
+    # migration moved segments across populations: pop1's final ledger
+    # should reference pop2 founder haplotypes somewhere (root_pop column)
+    int1 = (tmp_path / "out.pop1.gen3.chr1.int").read_text().splitlines()[1:]
+    roots = {row.split()[-1] for row in int1}
+    assert "2" in roots, "no pop-2 ancestry found in pop 1 after migration"
+    # population sizes: counts preserved globally (50 + 50 each gen)
+    n1 = len((tmp_path / "out.info.pop1.gen3.txt").read_text().splitlines()) - 1
+    n2 = len((tmp_path / "out.info.pop2.gen3.txt").read_text().splitlines()) - 1
+    assert n1 + n2 == 100
+
+
+def test_gamma_offsets_separate_populations(duo_scenario, tmp_path):
+    cfg = parse_args(
+        _args(duo_scenario, tmp_path, ["--gamma", "0.5"])
+    )
+    sim = Simulation(cfg, verbose=False)
+    sim.run()
+    # gamma>0 adds opposite-sign offsets: population means of P must differ
+    p1 = np.loadtxt(tmp_path / "out.info.pop1.gen3.txt", skiprows=1)
+    p2 = np.loadtxt(tmp_path / "out.info.pop2.gen3.txt", skiprows=1)
+    # column layout: 7 ids + sex + [A D G C E F P] -> P at index 14
+    m1, m2 = p1[:, 14].mean(), p2[:, 14].mean()
+    assert abs(m1 - m2) > 0.5, (m1, m2)
