@@ -23,10 +23,8 @@ import jax
 REF_RATE = 300_000 * 320_926 / 1_121.8  # reference ind*loci*gens/s
 
 
-def run(n: int, m: int, gens: int, use_pallas: bool) -> float:
-    from geneevolve_tpu.dense import DenseConfig, init_state, make_step
-
-    cfg = DenseConfig(
+def run(n: int, m: int, gens: int, use_pallas: bool, packed: bool) -> float:
+    kw = dict(
         n=n,
         m=m,
         n_chr=8,
@@ -38,17 +36,39 @@ def run(n: int, m: int, gens: int, use_pallas: bool) -> float:
         selection=True,
         use_pallas=use_pallas,
     )
+    if packed:
+        from geneevolve_tpu.dense.packed import (
+            PackedConfig as Cfg,
+            init_state,
+            make_step,
+        )
+    else:
+        from geneevolve_tpu.dense import (
+            DenseConfig as Cfg,
+            init_state,
+            make_step,
+        )
+    cfg = Cfg(**kw)
     state = init_state(jax.random.key(0), cfg)
-    step = jax.jit(make_step(cfg), donate_argnums=0)
-    key = jax.random.key(1)
+    step = make_step(cfg)
+
+    # all generations inside one jit (lax.scan): measures device time, not
+    # the tunnel's ~10 ms per-dispatch overhead
+    @jax.jit
+    def evolve(state, key):
+        def body(st, k):
+            return step(st, k), ()
+
+        out, _ = jax.lax.scan(body, state, jax.random.split(key, gens))
+        return out
+
     # warmup / compile; force a device->host scalar fetch as the sync point
     # (block_until_ready can return early on tunneled remote backends)
-    state = step(state, jax.random.fold_in(key, 0))
-    float(state["hapA"][0, 0])
+    out = evolve(state, jax.random.key(1))
+    float(out["hapA"][0, 0])
     t0 = time.perf_counter()
-    for g in range(gens):
-        state = step(state, jax.random.fold_in(key, g + 1))
-    float(state["hapA"][0, 0])
+    out = evolve(state, jax.random.key(2))
+    float(out["hapA"][0, 0])
     dt = time.perf_counter() - t0
     return n * m * gens / dt
 
@@ -62,11 +82,12 @@ def main() -> None:
         use_pallas = jax.default_backend() == "tpu"
     else:
         use_pallas = use_pallas == "1"
+    packed = os.environ.get("BENCH_PACKED", "1") == "1"
 
     rate = None
     for attempt in range(4):
         try:
-            rate = run(n, m, gens, use_pallas)
+            rate = run(n, m, gens, use_pallas, packed)
             break
         except Exception as e:  # OOM or missing pallas support -> degrade
             msg = str(e)

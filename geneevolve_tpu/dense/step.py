@@ -163,7 +163,10 @@ def _apply_mutations(key, gametes, cfg: DenseConfig):
     valid = jnp.arange(cfg.mut_cap)[None, :] < counts[:, None]
     hit = jnp.zeros_like(gametes)
     rows = jnp.broadcast_to(jnp.arange(n)[:, None], pos.shape)
-    hit = hit.at[rows, pos].max(valid.astype(gametes.dtype))
+    # XOR semantics: a position drawn twice flips twice and cancels — this
+    # matches the reference's per-occurrence flip at paint time
+    # (`Simulation.cpp:1218-1222`) and the packed engine's XOR masks
+    hit = hit.at[rows, pos].add(valid.astype(gametes.dtype)) & 1
     return gametes ^ hit
 
 

@@ -36,7 +36,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLOCK_M = 8192  # loci per grid cell
+import os
+
+BLOCK_M = int(os.environ.get("GE_PALLAS_BLOCK_M", 8192))  # loci per grid cell
 
 
 def _kernel(

@@ -1,0 +1,105 @@
+"""Bit-packed engine: equality with the byte engine, and kernel parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from geneevolve_tpu.dense import packed as pk
+from geneevolve_tpu.dense.step import (
+    DenseConfig,
+    _meiose_xla,
+    _sample_gamete_plan,
+    init_state as dense_init,
+    make_step as make_dense_step,
+)
+
+
+def _cfgs(**kw):
+    base = dict(n=24, m=1024, n_chr=4, xo_cap=6, mut_rate=0.8, mut_cap=4, ncv=16)
+    base.update(kw)
+    pcfg = pk.PackedConfig(**base)
+    return pcfg, pcfg.as_dense()
+
+
+def test_pack_roundtrip():
+    rng = np.random.default_rng(0)
+    bits = jnp.asarray(rng.integers(0, 2, size=(5, 64), dtype=np.uint8))
+    np.testing.assert_array_equal(
+        np.asarray(pk.unpack_bits(pk.pack_bits(bits), 64)), np.asarray(bits)
+    )
+
+
+def test_packed_meiosis_equals_byte_engine():
+    pcfg, dcfg = _cfgs()
+    key = jax.random.key(0)
+    dstate = dense_init(key, dcfg)
+    pstate = pk.init_state(key, pcfg)
+    np.testing.assert_array_equal(
+        np.asarray(pk.unpack_bits(pstate["hapA"], pcfg.m)),
+        np.asarray(dstate["hapA"]),
+    )
+    kf, kp = jax.random.split(jax.random.key(3))
+    parent = jax.random.randint(kf, (pcfg.n,), 0, pcfg.n)
+    xo, st = _sample_gamete_plan(kp, dcfg, pcfg.n)
+    ref = _meiose_xla(dstate["hapA"], dstate["hapB"], parent, xo, st, dcfg)
+    got = pk.meiose_packed_xla(
+        pstate["hapA"], pstate["hapB"], parent, xo, st, pcfg
+    )
+    np.testing.assert_array_equal(
+        np.asarray(pk.unpack_bits(got, pcfg.m)), np.asarray(ref)
+    )
+
+
+def test_packed_step_equals_byte_step():
+    pcfg, dcfg = _cfgs()
+    key = jax.random.key(0)
+    dstate = dense_init(key, dcfg)
+    pstate = pk.init_state(key, pcfg)
+    ds = jax.jit(make_dense_step(dcfg))(dstate, jax.random.key(5))
+    ps = jax.jit(pk.make_step(pcfg))(pstate, jax.random.key(5))
+    for k in ("hapA", "hapB"):
+        np.testing.assert_array_equal(
+            np.asarray(pk.unpack_bits(ps[k], pcfg.m)), np.asarray(ds[k])
+        )
+
+
+def test_packed_phenotype_matches():
+    from geneevolve_tpu.dense.step import phenotype_additive
+
+    pcfg, dcfg = _cfgs()
+    dstate = dense_init(jax.random.key(1), dcfg)
+    pstate = pk.init_state(jax.random.key(1), pcfg)
+    a = phenotype_additive(
+        dstate["hapA"], dstate["hapB"], dstate["cv_idx"], dstate["eff"]
+    )
+    b = pk.phenotype_additive_packed(
+        pstate["hapA"], pstate["hapB"], pstate["cv_idx"], pstate["eff"]
+    )
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_packed_pallas_interpret_matches_xla():
+    from geneevolve_tpu.ops import meiosis_packed_pallas as mpp
+    from jax.experimental.pallas import tpu as pltpu
+
+    pcfg = pk.PackedConfig(
+        n=6, m=8 * 2 * mpp.BLOCK_B, n_chr=2, xo_cap=4
+    )
+    dcfg = pcfg.as_dense()
+    state = pk.init_state(jax.random.key(0), pcfg)
+    hapA, hapB = state["hapA"], state["hapB"]
+    kf, km, kp, kq = jax.random.split(jax.random.key(5), 4)
+    fathers = jax.random.randint(kf, (pcfg.n,), 0, pcfg.n)
+    mothers = jax.random.randint(km, (pcfg.n,), 0, pcfg.n)
+    xo_p, st_p = _sample_gamete_plan(kp, dcfg, pcfg.n)
+    xo_m, st_m = _sample_gamete_plan(kq, dcfg, pcfg.n)
+    refA = pk.meiose_packed_xla(hapA, hapB, fathers, xo_p, st_p, pcfg)
+    refB = pk.meiose_packed_xla(hapA, hapB, mothers, xo_m, st_m, pcfg)
+    with pltpu.force_tpu_interpret_mode():
+        outA, outB = mpp.meiose_planes_packed_pallas(
+            hapA, hapB, fathers, mothers, xo_p, st_p, xo_m, st_m,
+            n_chr=pcfg.n_chr, chr_len=pcfg.chr_len,
+        )
+    np.testing.assert_array_equal(np.asarray(refA), np.asarray(outA))
+    np.testing.assert_array_equal(np.asarray(refB), np.asarray(outB))
