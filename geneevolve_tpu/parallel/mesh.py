@@ -49,12 +49,20 @@ def shard_state(state: dict, mesh: Mesh) -> dict:
     }
 
 
-def make_sharded_step(cfg: DenseConfig, mesh: Mesh):
+def make_sharded_step(cfg, mesh: Mesh):
     """jit'd generation step with (ind, loci) shardings on the haplotype
     state. Parent-row gathers ride the 'ind' axis; the allele-frequency
     reduction in the phenotype path is a psum over 'ind'; crossover plans are
-    replicated along 'loci'."""
-    step = make_step(cfg)
+    replicated along 'loci'. Accepts a DenseConfig or PackedConfig (the
+    packed engine shards identically: the loci axis just carries bytes)."""
+    from geneevolve_tpu.dense.packed import PackedConfig
+    from geneevolve_tpu.dense.packed import make_step as make_packed_step
+
+    step = (
+        make_packed_step(cfg)
+        if isinstance(cfg, PackedConfig)
+        else make_step(cfg)
+    )
     specs = state_specs()
     in_shardings = (
         {k: NamedSharding(mesh, v) for k, v in specs.items()},

@@ -79,6 +79,24 @@ def test_packed_phenotype_matches():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
 
 
+def test_packed_sharded_step_matches_single_device():
+    from geneevolve_tpu.parallel import make_mesh, make_sharded_step, shard_state
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    pcfg, _ = _cfgs(n=32, m=2048, selection=True, mut_rate=0.5)
+    state = pk.init_state(jax.random.key(0), pcfg)
+    key = jax.random.key(4)
+    single = jax.jit(pk.make_step(pcfg))(state, key)
+    mesh = make_mesh(jax.devices()[:8])
+    sharded_in = shard_state(pk.init_state(jax.random.key(0), pcfg), mesh)
+    out = make_sharded_step(pcfg, mesh)(sharded_in, key)
+    for k in ("hapA", "hapB"):
+        np.testing.assert_array_equal(
+            np.asarray(single[k]), np.asarray(out[k])
+        )
+
+
 def test_packed_pallas_interpret_matches_xla():
     from geneevolve_tpu.ops import meiosis_packed_pallas as mpp
     from jax.experimental.pallas import tpu as pltpu
