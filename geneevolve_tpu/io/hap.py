@@ -42,6 +42,9 @@ def read_hap(path: str | os.PathLike) -> np.ndarray:
     if not data.endswith(b"\n"):
         data += b"\n"
     nl = data.count(b"\n")
+    native = _read_hap_native(data, nl)
+    if native is not None:
+        return native
     # fast path: uniform line length -> one reshape + stride
     if len(data) % nl == 0:
         width = len(data) // nl
@@ -65,6 +68,32 @@ def read_hap(path: str | os.PathLike) -> np.ndarray:
             f"undefined character [{chr(arr[i, j])}] in file [{path}], line {i}"
         )
     return np.ascontiguousarray((arr - ord("0")).T)
+
+
+def _read_hap_native(data: bytes, nl: int) -> np.ndarray | None:
+    """C codec parse (strict positional, like `format_hap.cpp:95-106`)."""
+    from geneevolve_tpu import native
+
+    lib = native.load()
+    if lib is None or nl == 0:
+        return None
+    first = data.index(b"\n")
+    ncols = (first + 1) // 2
+    if ncols == 0:
+        return None
+    out = np.empty((nl, ncols), dtype=np.uint8)
+    import ctypes
+
+    rc = lib.hap_parse(
+        data,
+        len(data),
+        nl,
+        ncols,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if rc != 0:
+        return None  # ragged or bad char: let the Python path diagnose
+    return np.ascontiguousarray(out.T)
 
 
 def write_hap(path: str | os.PathLike, hap: np.ndarray) -> None:

@@ -65,6 +65,92 @@ def read_header_samples(path: str | os.PathLike) -> List[str]:
 
 
 def read_vcf(path: str | os.PathLike) -> VcfData:
+    native = _read_vcf_native(path)
+    if native is not None:
+        return native
+    return _read_vcf_python(path)
+
+
+def _read_vcf_native(path: str | os.PathLike) -> VcfData | None:
+    """Two-pass native parse (count + GT fill) with Python slicing of the
+    per-record fixed columns; mirrors the reference's two-pass libStatGen
+    read (`format_vcf.cpp:74-360`)."""
+    from geneevolve_tpu import native
+
+    lib = native.load()
+    if lib is None:
+        return None
+    with _open(path, "rb") as f:
+        data = f.read()
+    import ctypes
+
+    n_rec = ctypes.c_int64()
+    n_smp = ctypes.c_int64()
+    lib.vcf_count(data, len(data), ctypes.byref(n_rec), ctypes.byref(n_smp))
+    n_records, n_samples = n_rec.value, n_smp.value
+    if n_records <= 0 or n_samples <= 0:
+        return None  # fall back for the error path/reporting
+    gt = np.empty((2 * n_samples, n_records), dtype=np.uint8)
+    rec_off = np.empty(n_records, dtype=np.int64)
+    rec_len = np.empty(n_records, dtype=np.int64)
+    rc = lib.vcf_parse_gt(
+        data,
+        len(data),
+        n_records,
+        n_samples,
+        gt.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        rec_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        rec_len.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if rc != 0:
+        return None
+    meta: List[str] = []
+    samples: List[str] = []
+    for line in data.split(b"\n"):
+        if line.startswith(b"##"):
+            meta.append(line.decode())
+        elif line.startswith(b"#CHROM"):
+            samples = line.decode().rstrip("\n").split("\t")[9:]
+            break
+    chrom, pos, ids, ref, alt, qual, filt = [], [], [], [], [], [], []
+    keep = np.ones(n_records, dtype=bool)
+    for r in range(n_records):
+        t = data[rec_off[r] : rec_off[r] + rec_len[r]].decode().split("\t")
+        rr, aa = t[3], t[4]
+        if len(rr) == 1 and rr not in _ALLELE_CODES:
+            keep[r] = False
+            continue
+        if len(aa) == 1 and aa not in _ALLELE_CODES and aa != "0":
+            keep[r] = False
+            continue
+        chrom.append(t[0])
+        pos.append(int(t[1]))
+        ids.append(t[2] if t[2] != "." else f"{t[0]}:{t[1]}")
+        ref.append(rr)
+        alt.append(aa)
+        qual.append(t[5])
+        filt.append(t[6])
+    if not chrom:
+        return None
+    hap = gt[:, keep] if not keep.all() else gt
+    m = len(pos)
+    return VcfData(
+        samples=samples,
+        chrom=np.array(chrom, dtype=object),
+        pos=np.array(pos, dtype=np.int64),
+        ids=np.array(ids, dtype=object),
+        ref=np.array(ref, dtype=object),
+        alt=np.array(alt, dtype=object),
+        qual=np.array(qual, dtype=object),
+        filt=np.array(filt, dtype=object),
+        info=np.full(m, ".", dtype=object),
+        fmt=np.full(m, "GT", dtype=object),
+        hap=np.ascontiguousarray(hap),
+        meta_lines=meta,
+    )
+
+
+def _read_vcf_python(path: str | os.PathLike) -> VcfData:
     meta: List[str] = []
     samples: List[str] = []
     chrom, pos, ids, ref, alt, qual, filt = [], [], [], [], [], [], []
@@ -94,7 +180,9 @@ def read_vcf(path: str | os.PathLike) -> VcfData:
                 g = cell.split(":", 1)[0]
                 sep = "|" if "|" in g else "/"
                 ab = g.split(sep)
-                if len(ab) != 2:
+                if len(ab) == 1:  # haploid/missing second allele -> 0
+                    ab = [ab[0], "."]
+                elif len(ab) != 2:
                     ok = False
                     break
                 row[2 * i] = 0 if ab[0] in ("0", ".") else 1
@@ -143,6 +231,9 @@ def default_meta_lines() -> List[str]:
 def write_vcf(path: str | os.PathLike, v: VcfData) -> None:
     n = len(v.samples)
     assert v.hap.shape == (2 * n, v.nsnp)
+    a = np.ascontiguousarray(v.hap[0::2, :])  # (n, m)
+    b = np.ascontiguousarray(v.hap[1::2, :])
+    tails = _gt_tails(a, b)
     with _open(path, "w") as f:
         for line in v.meta_lines:
             f.write(line + "\n")
@@ -150,16 +241,38 @@ def write_vcf(path: str | os.PathLike, v: VcfData) -> None:
         for s in v.samples:
             f.write("\t" + str(s))
         f.write("\n")
-        # precompute GT strings column-block-wise for speed
-        a = v.hap[0::2, :]  # (n, m)
-        b = v.hap[1::2, :]
         for j in range(v.nsnp):
             f.write(
                 f"{v.chrom[j]}\t{v.pos[j]}\t{v.ids[j]}\t{v.ref[j]}\t{v.alt[j]}"
                 f"\t{v.qual[j]}\t{v.filt[j]}\t{v.info[j]}\t{v.fmt[j]}"
             )
-            col = np.char.add(
-                np.char.add(a[:, j].astype("U1"), "|"), b[:, j].astype("U1")
-            )
-            f.write("\t" + "\t".join(col))
-            f.write("\n")
+            f.write(tails[j])
+
+
+def _gt_tails(a: np.ndarray, b: np.ndarray) -> List[str]:
+    """Per-record '\\ta|b...\\n' strings for (n, m) allele matrices."""
+    from geneevolve_tpu import native
+
+    n, m = a.shape
+    lib = native.load()
+    if lib is not None and n and m:
+        import ctypes
+
+        buf = np.empty(m * (4 * n + 1), dtype=np.uint8)
+        written = lib.gt_format(
+            a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            b.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            n,
+            m,
+            buf.ctypes.data,
+        )
+        text = buf[:written].tobytes().decode()
+        per = 4 * n + 1
+        return [text[j * per : (j + 1) * per] for j in range(m)]
+    out = []
+    for j in range(m):
+        col = np.char.add(
+            np.char.add(a[:, j].astype("U1"), "|"), b[:, j].astype("U1")
+        )
+        out.append("\t" + "\t".join(col) + "\n")
+    return out
