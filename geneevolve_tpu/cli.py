@@ -25,6 +25,7 @@ Optional per phenotype (repeatable): --va --vd --vc --ve --vf --omega --beta --l
 Optional per population: --file_mutation_map --MM <p> --RM
 Global: --gamma (per phenotype) --file_migration --avoid_inbreeding
         --vt_type {1,2} --seed <n> --prefix <s> --debug
+        --profile <dir>  (write a jax.profiler trace of the main loop)
 Output: --out_hap --out_plink --out_plink01 --out_vcf --out_interval
         --file_output_generations <file> --no_output
 Checkpointing: --checkpoint_every <n> --resume <prefix>.ckpt.npz

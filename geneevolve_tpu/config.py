@@ -65,6 +65,7 @@ class ScenarioConfig:
     no_output: bool = False  # accepted for Examples.zip compat (reference v1.1.0 flag)
     file_output_generations: str = ""
     debug: bool = False
+    profile_dir: str = ""  # write a jax.profiler trace of the main loop here
     checkpoint_every: int = 0  # write <prefix>.ckpt.npz every N generations
     resume: str = ""  # checkpoint file to restore and continue from
 
@@ -158,6 +159,8 @@ def parse_args(argv: List[str]) -> ScenarioConfig:
             cfg.seed = int(float(take_value(a)))
         elif a == "--debug":
             cfg.debug = True
+        elif a == "--profile":
+            cfg.profile_dir = take_value(a)
         elif a == "--prefix":
             cfg.prefix = take_value(a)
         elif a == "--out_hap":

@@ -12,6 +12,7 @@ on host in float64.
 from __future__ import annotations
 
 import os
+import time
 from dataclasses import dataclass, field
 from functools import partial
 from typing import Dict, List, Optional
@@ -27,6 +28,7 @@ from geneevolve_tpu.core.segments import ChromMaps
 from geneevolve_tpu.io import hap as hap_io
 from geneevolve_tpu.io import tables
 from geneevolve_tpu.io import vcf as vcf_io
+from geneevolve_tpu.utils import telemetry
 
 
 # --------------------------------------------------------------------------
@@ -194,6 +196,7 @@ class Simulation:
         self.n_pheno = cfg.n_pheno
         self.vt_type = cfg.vt_type
         self.pops: List[PopRuntime] = []
+        self.timer = telemetry.StageTimer()
         self._load()
 
     def _log(self, msg: str) -> None:
@@ -233,6 +236,18 @@ class Simulation:
                 ChromMaps.build(c, rmaps[c], mmaps[c] if mmaps else None)
                 for c in chrs
             ]
+            if cfg.debug:
+                # map spot-checks (`Population.cpp:400-411, 497-505`)
+                for c, m in zip(chrs, maps):
+                    r = rmaps[c]
+                    tail = " ".join(f"{v:g}" for v in r.cM[-20:])
+                    print(f"  rmap bp distance in chr {c}={r.bin_width}")
+                    print(f"  rmap: {tail}")
+                    p = r.prob
+                    print(
+                        f"  mean(recom_prob)={np.mean(p):g}, "
+                        f"recom_prob[end]={p[-1]:g}"
+                    )
             phenos = []
             n_founders = None
             for ph in pcfg.phenotypes:
@@ -439,11 +454,12 @@ class Simulation:
                     ph.beta = float(np.sqrt(ph.vf / (2 * var_F)))
 
     # ----------------------------------------------------------------- A / D
-    def _compute_ad(self, p: PopRuntime):
+    def _compute_ad(self, p: PopRuntime, gen: int = -1):
         """(npheno, n) raw additive & dominance values (`Simulation.cpp:2624-2749`)."""
         st = p.state
         A = np.zeros((self.n_pheno, st.n))
         D = np.zeros((self.n_pheno, st.n))
+        dump_cv = self.cfg.debug and gen == self.tot_gen
         for j in range(self.n_pheno):
             dominance_on = jnp.asarray(p.phenos[j].vd != 0)
             for ic in range(len(self.chrs)):
@@ -457,6 +473,21 @@ class Simulation:
                     self.global_cv[j][ic],
                     self.pop_starts,
                 )
+                if dump_cv:
+                    # per-chromatid CV dump at the final generation
+                    # (`Simulation.cpp:2665-2683`; one file per chr, the
+                    # reference overwrites it per phenotype — so do we)
+                    path = (
+                        f"{self.cfg.prefix}.pop{p.index + 1}.gen{gen}"
+                        f".chr{self.chrs[ic]}.cvval"
+                    )
+                    cv = np.asarray(c)  # (n, 2, ncv)
+                    inter = np.empty(
+                        (cv.shape[0], 2 * cv.shape[2]), dtype=cv.dtype
+                    )
+                    inter[:, 0::2] = cv[:, 0]
+                    inter[:, 1::2] = cv[:, 1]
+                    np.savetxt(path, inter, fmt="%d", delimiter=" ")
                 ncv = self.cv_bp_dev[j][ic].shape[0]
                 a_tab = self.eff_a[j][ic]
                 d_tab = self.eff_d[j][ic]
@@ -573,6 +604,7 @@ class Simulation:
 
     # ------------------------------------------------------------------ step
     def step(self, gen: int) -> None:
+        t_gen = time.time()
         g = gen - 1  # schedule row
         for p in self.pops:
             st = p.state
@@ -581,40 +613,60 @@ class Simulation:
             rng_mate = np.random.default_rng(
                 np_seed(self.cfg.seed, gen, Stage.MATE, p.index)
             )
-            if p.rm:
-                plan = mating.random_mate(rng_mate, st.svf, st.sex, pop_size)
-            else:
-                plan = mating.assort_mate(
-                    rng_mate,
-                    st.mv,
-                    st.svf,
-                    st.sex,
-                    st.ped,
-                    float(sched.mat_cor[g]),
-                    p.mm_percent,
-                    self.cfg.avoid_inbreeding,
-                    sched.offspring_dist[g],
-                    pop_size,
-                )
+            with self.timer("mate"):
+                if p.rm:
+                    plan = mating.random_mate(
+                        rng_mate, st.svf, st.sex, pop_size
+                    )
+                else:
+                    plan = mating.assort_mate(
+                        rng_mate,
+                        st.mv,
+                        st.svf,
+                        st.sex,
+                        st.ped,
+                        float(sched.mat_cor[g]),
+                        p.mm_percent,
+                        self.cfg.avoid_inbreeding,
+                        sched.offspring_dist[g],
+                        pop_size,
+                    )
             self._log(
                 f"      pop {p.index + 1} gen {gen}: couples={plan.n_couples} "
                 f"couple_cor_mv={plan.couple_cor_mating_value(st.mv):.3f}"
             )
-            p.state = self._reproduce(p, gen, plan)
-            A_raw, D_raw = self._compute_ad(p)
-            self._assemble_phenotypes(p, gen, A_raw, D_raw, plan)
-        self._apply_gamma()
-        for p in self.pops:
-            self._mating_selection_values(p, gen)
+            with self.timer("reproduce"):
+                p.state = self._reproduce(p, gen, plan)
+            with self.timer("compute_ad"):
+                A_raw, D_raw = self._compute_ad(p, gen)
+            with self.timer("phenotypes"):
+                self._assemble_phenotypes(p, gen, A_raw, D_raw, plan)
+        with self.timer("gamma_mv_sv"):
+            self._apply_gamma()
+            for p in self.pops:
+                self._mating_selection_values(p, gen)
         if self.n_pop > 1:
-            self._migrate(gen)
-        for p in self.pops:
-            p.prev_phen = p.state.comp["P"].copy()
-            p.prev_F = p.state.comp["F"].copy()
-            self._save_info(p, gen)
-            self._record_traj(p, gen)
+            with self.timer("migration"):
+                self._migrate(gen)
+        with self.timer("info_files"):
+            for p in self.pops:
+                p.prev_phen = p.state.comp["P"].copy()
+                p.prev_F = p.state.comp["F"].copy()
+                self._save_info(p, gen)
+                self._record_traj(p, gen)
         if gen in self.out_gens:
-            self.save_genotypes(gen)
+            with self.timer("genotype_output"):
+                self.save_genotypes(gen)
+        # memory + timing report per generation (`Simulation.cpp:2067-2079`)
+        vm, rss = telemetry.process_mem_usage()
+        self._log("      -------------------------")
+        self._log(f"      memory used: VM = {vm:.0f} Mb, RSS = {rss:.0f} Mb")
+        for dev, mb in telemetry.device_memory_mb().items():
+            self._log(f"        {dev}: HBM in use = {mb:.0f} Mb")
+        self._log(
+            f"      time used for this generation: "
+            f"{time.time() - t_gen:.2f} seconds"
+        )
 
     def _reproduce(self, p: PopRuntime, gen: int, plan: mating.MatingPlan) -> PopState:
         st = p.state
@@ -895,11 +947,13 @@ class Simulation:
             self.init_generation0()
             if cfg.checkpoint_every:
                 checkpoint.save(self, 0, f"{cfg.prefix}.ckpt.npz")
-        for gen in range(start_gen, self.tot_gen + 1):
-            self._log(f"    Start generation {gen}")
-            self.step(gen)
-            if cfg.checkpoint_every and gen % cfg.checkpoint_every == 0:
-                checkpoint.save(self, gen, f"{cfg.prefix}.ckpt.npz")
+        with telemetry.profiler_trace(cfg.profile_dir):
+            for gen in range(start_gen, self.tot_gen + 1):
+                self._log(f"    Start generation {gen}")
+                self.step(gen)
+                if cfg.checkpoint_every and gen % cfg.checkpoint_every == 0:
+                    checkpoint.save(self, gen, f"{cfg.prefix}.ckpt.npz")
+        self.timer.report(self._log)
         self.write_summary()
         if not self.out_gens and (
             self.cfg.out_hap

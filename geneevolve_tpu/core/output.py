@@ -98,6 +98,11 @@ def save_genotypes(sim, gen: int) -> None:
                 )
                 base = f"{cfg.prefix}.pop{p.index + 1}.gen{gen}.chr{chrom}"
                 leg = legends[p.index]
+                if cfg.debug:
+                    # AF spot-check on the last SNPs (`Simulation.cpp:1368-1387`)
+                    print("The last allele frequencies")
+                    for af in painted[:, :, -10:].mean(axis=(0, 1)):
+                        print(f"AF = {af:g}")
                 if cfg.out_hap:
                     hap_io.write_hap(
                         base + ".hap",

@@ -130,6 +130,24 @@ def phase_byte_masks(
     return mask.reshape(n, cfg.mb)
 
 
+def apply_mutations_packed(child: jax.Array, pos: jax.Array) -> jax.Array:
+    """XOR single-bit flips at loci `pos` ((n, Km) int32, pad = m) into
+    packed rows (n, mb), as a full-plane XOR-mask pass. Repeated draws flip
+    twice and cancel (per-occurrence semantics, `Simulation.cpp:1218-1222`).
+
+    Measured note: sparse gather/scatter formulations are *slower* on TPU —
+    XLA lowers scatter near-serially (~13 ms for 32k indices on v5e) — while
+    the mask construction fuses into one ~free streaming pass."""
+    n, mb = child.shape
+    cols = jnp.arange(mb, dtype=jnp.int32)[None, :]
+    hit = jnp.zeros((n, mb), dtype=jnp.uint8)
+    for k in range(pos.shape[1]):
+        p = pos[:, k : k + 1]
+        bit = jnp.left_shift(jnp.uint8(1), (p & 7).astype(jnp.uint8))
+        hit = hit ^ jnp.where(cols == (p >> 3), bit, jnp.uint8(0))
+    return child ^ hit
+
+
 def meiose_packed_xla(hapA, hapB, parent, xo, start, cfg: PackedConfig):
     """(n_child, mb) packed gametes."""
     mask = phase_byte_masks(xo, start, cfg)
@@ -138,22 +156,23 @@ def meiose_packed_xla(hapA, hapB, parent, xo, start, cfg: PackedConfig):
     return a ^ (mask & (a ^ b))
 
 
-def mutation_bytes(key, n: int, cfg: PackedConfig) -> jax.Array:
-    """(n, mb) uint8 XOR masks with <= mut_cap set bits per row."""
+def mutation_positions(key, n: int, cfg: PackedConfig) -> jax.Array:
+    """(n, mut_cap) int32 de novo mutation loci, pad = m (past the last byte).
+    Same key schedule as the byte engine's `_apply_mutations`
+    (`dense/step.py`), so both engines flip identical loci."""
     k1, k2 = jax.random.split(key)
     counts = jnp.minimum(
         jax.random.poisson(k1, cfg.mut_rate, (n,)), cfg.mut_cap
     )
     pos = jax.random.randint(k2, (n, cfg.mut_cap), 0, cfg.m)
     valid = jnp.arange(cfg.mut_cap)[None, :] < counts[:, None]
-    pos = jnp.where(valid, pos, cfg.m)  # pad points past the last byte
-    cols = jnp.arange(cfg.mb, dtype=jnp.int32)[None, :]
-    hit = jnp.zeros((n, cfg.mb), dtype=jnp.uint8)
-    for k in range(cfg.mut_cap):
-        p = pos[:, k : k + 1]
-        bit = jnp.left_shift(jnp.uint8(1), (p & 7).astype(jnp.uint8))
-        hit = hit ^ jnp.where(cols == (p >> 3), bit, jnp.uint8(0))
-    return hit
+    return jnp.where(valid, pos, cfg.m).astype(jnp.int32)
+
+
+def mutation_bytes(key, n: int, cfg: PackedConfig) -> jax.Array:
+    """(n, mb) uint8 XOR masks with <= mut_cap set bits per row."""
+    pos = mutation_positions(key, n, cfg)
+    return apply_mutations_packed(jnp.zeros((n, cfg.mb), jnp.uint8), pos)
 
 
 def popcount_dosage(packed: jax.Array, idx: jax.Array) -> jax.Array:
@@ -170,15 +189,15 @@ def phenotype_additive_packed(hapA, hapB, cv_idx, eff):
     return (t - 2.0 * p[None, :]) @ eff
 
 
-def make_step(cfg: PackedConfig):
-    """Packed generation step; same law as the byte engine's
-    (`dense/step.py:make_step`) — bit-identical after unpacking when driven
-    with the same keys."""
+def make_meiose(cfg: PackedConfig):
+    """meiose(hapA, hapB, fathers, mothers, xo_p, st_p, xo_m, st_m) ->
+    (childA, childB): the Pallas kernel when eligible, else the XLA
+    byte-mask path (which stays the oracle)."""
     pair_fn = None
     if cfg.use_pallas:
         from geneevolve_tpu.ops import meiosis_packed_pallas as mpp
 
-        bb = mpp.BLOCK_B
+        bb = min(mpp.BLOCK_B, cfg.chr_lenb)
         while cfg.chr_lenb % bb:
             bb //= 2
         if bb >= 128 and cfg.mb % bb == 0:
@@ -188,6 +207,22 @@ def make_step(cfg: PackedConfig):
                 chr_len=cfg.chr_len,
             )
 
+    def meiose(hapA, hapB, fathers, mothers, xo_p, st_p, xo_m, st_m):
+        if pair_fn is not None:
+            return pair_fn(hapA, hapB, fathers, mothers, xo_p, st_p, xo_m, st_m)
+        childA = meiose_packed_xla(hapA, hapB, fathers, xo_p, st_p, cfg)
+        childB = meiose_packed_xla(hapA, hapB, mothers, xo_m, st_m, cfg)
+        return childA, childB
+
+    return meiose
+
+
+def make_step(cfg: PackedConfig, xo_cdf=None):
+    """Packed generation step; same law as the byte engine's
+    (`dense/step.py:make_step`) — bit-identical after unpacking when driven
+    with the same keys. xo_cdf: optional (m,) cumulative-Morgans array for
+    map-aware crossovers."""
+    meiose = make_meiose(cfg)
     dense_cfg = cfg.as_dense()
 
     def step(state, key):
@@ -209,27 +244,18 @@ def make_step(cfg: PackedConfig):
             fathers = jax.random.randint(km1, (n,), 0, n_par)
             mothers = jax.random.randint(km2, (n,), 0, n_par)
 
-        xo_p, st_p = _sample_gamete_plan(k_pat, dense_cfg, n)
-        xo_m, st_m = _sample_gamete_plan(k_mat, dense_cfg, n)
-        if pair_fn is not None:
-            mut_a = (
-                mutation_bytes(k_mu1, n, cfg) if cfg.mut_rate > 0 else None
+        xo_p, st_p = _sample_gamete_plan(k_pat, dense_cfg, n, xo_cdf)
+        xo_m, st_m = _sample_gamete_plan(k_mat, dense_cfg, n, xo_cdf)
+        childA, childB = meiose(
+            hapA, hapB, fathers, mothers, xo_p, st_p, xo_m, st_m
+        )
+        if cfg.mut_rate > 0:
+            childA = apply_mutations_packed(
+                childA, mutation_positions(k_mu1, n, cfg)
             )
-            mut_b = (
-                mutation_bytes(k_mu2, n, cfg) if cfg.mut_rate > 0 else None
+            childB = apply_mutations_packed(
+                childB, mutation_positions(k_mu2, n, cfg)
             )
-            childA, childB = pair_fn(
-                hapA, hapB, fathers, mothers, xo_p, st_p, xo_m, st_m
-            )
-            if mut_a is not None:
-                childA = childA ^ mut_a
-                childB = childB ^ mut_b
-        else:
-            childA = meiose_packed_xla(hapA, hapB, fathers, xo_p, st_p, cfg)
-            childB = meiose_packed_xla(hapA, hapB, mothers, xo_m, st_m, cfg)
-            if cfg.mut_rate > 0:
-                childA = childA ^ mutation_bytes(k_mu1, n, cfg)
-                childB = childB ^ mutation_bytes(k_mu2, n, cfg)
         return {
             "hapA": childA,
             "hapB": childB,

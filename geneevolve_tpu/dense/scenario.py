@@ -1,0 +1,240 @@
+"""Materialized fast path: run the bit-packed dense engine on a *real*
+founder panel with a *real* recombination map.
+
+This is the mode to use when every generation's genotypes are consumed
+(GWAS-simulation pipelines, method benchmarking): the whole panel lives
+on device as two packed chromatid planes, each generation is one fused
+Pallas pass, and any generation can be written back out as .hap files.
+The reference has no equivalent — its interval engine defers genotype
+materialization to output time (`/root/reference/src/Simulation.cpp:
+1186-1230`); here materialization *is* the evolution step.
+
+Capabilities: hap/legend/indv founder input, map-aware Poisson crossovers,
+de novo mutation, additive phenotype on CV columns with per-generation
+allele-frequency centering, neutral or logistic directional selection,
+hap output per requested generation.
+
+Usage (module CLI):
+    python -m geneevolve_tpu.dense.scenario \
+        --file_hap_name <address file> --file_recom_map <map> \
+        --gens 20 [--pop_size N] [--mut_rate L] [--selection] \
+        [--out_hap] [--prefix out.dense] [--seed 1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from dataclasses import dataclass
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from geneevolve_tpu.dense.packed import (
+    PackedConfig,
+    make_step,
+    pack_bits,
+    unpack_bits,
+)
+from geneevolve_tpu.io import hap as hap_io
+from geneevolve_tpu.io import tables
+
+
+@dataclass
+class PanelScenario:
+    cfg: PackedConfig
+    state: dict
+    xo_cdf: jax.Array  # (m_padded,) cumulative Morgans per column
+    chrs: List[int]
+    m_real: List[int]  # real SNPs per chromosome (before padding)
+    legends: List  # per chr legend tables
+    indv_ids: List[str]
+
+    @property
+    def chr_len(self) -> int:
+        return self.cfg.chr_len
+
+
+def _pad_to(x: np.ndarray, length: int, value) -> np.ndarray:
+    if x.shape[-1] == length:
+        return x
+    pad = np.full((*x.shape[:-1], length - x.shape[-1]), value, x.dtype)
+    return np.concatenate([x, pad], axis=-1)
+
+
+def load_panel(
+    file_hap_name: str,
+    file_recom_map: str,
+    cv_info: str = "",
+    pop_size: Optional[int] = None,
+    mut_rate: float = 0.0,
+    selection: bool = False,
+    ncv: int = 128,
+    xo_cap: int = 8,
+    seed: int = 1,
+) -> PanelScenario:
+    """Pack a hap/legend/indv founder panel into dense engine state.
+
+    Chromosomes are padded to a common multiple-of-8 column count; padding
+    columns carry zero map mass (never recombine) and are dropped at
+    output."""
+    addresses = tables.read_hap_address(file_hap_name)
+    chrs = [a[0] for a in addresses]
+    rmaps = tables.read_recom_map(file_recom_map, chrs)
+    indv_ids = hap_io.read_indv(addresses[0][3])
+
+    panels, legends, cMs, m_real = [], [], [], []
+    for chrom, hap_path, legend_path, _ in addresses:
+        panel = hap_io.read_hap(hap_path)  # (2n0, m_chr)
+        legend = hap_io.read_legend(legend_path)
+        r = rmaps[chrom]
+        # cumulative cM at each SNP position (linear interp on the map)
+        cm = np.interp(legend.pos, r.bp, r.cM)
+        panels.append(panel)
+        legends.append(legend)
+        cMs.append(cm)
+        m_real.append(panel.shape[1])
+
+    chr_len = ((max(m_real) + 7) // 8) * 8
+    n0 = panels[0].shape[0] // 2
+    m = chr_len * len(chrs)
+
+    planes_a, planes_b, cdf = [], [], []
+    total = 0.0
+    for panel, cm, mr in zip(panels, cMs, m_real):
+        a = _pad_to(panel[0::2], chr_len, 0)
+        b = _pad_to(panel[1::2], chr_len, 0)
+        planes_a.append(a)
+        planes_b.append(b)
+        # per-column cumulative Morgans; padding adds no mass
+        mass = np.diff(cm, prepend=cm[0]) / 100.0
+        c = total + np.cumsum(mass)
+        total = c[-1]
+        cdf.append(_pad_to(c, chr_len, total))
+    hapA = pack_bits(jnp.asarray(np.concatenate(planes_a, axis=1)))
+    hapB = pack_bits(jnp.asarray(np.concatenate(planes_b, axis=1)))
+
+    n = pop_size or n0
+    cfg = PackedConfig(
+        n=n,
+        m=m,
+        n_chr=len(chrs),
+        xo_cap=xo_cap,
+        mut_rate=mut_rate,
+        mut_cap=max(4, int(np.ceil(mut_rate + 4 * np.sqrt(max(mut_rate, 1)))))
+        if mut_rate > 0
+        else 4,
+        ncv=ncv,
+        selection=selection,
+        use_pallas=jax.default_backend() == "tpu",
+    )
+    key = jax.random.key(seed)
+    if n != n0:
+        # bootstrap the founders up/down to the requested population size
+        rows = jax.random.randint(key, (n,), 0, n0)
+        hapA, hapB = hapA[rows], hapB[rows]
+
+    if cv_info:
+        info = tables.read_cv_info(cv_info, chrs)
+        cols, effs = [], []
+        for ic, chrom in enumerate(chrs):
+            pos = info[chrom].bp
+            idx = np.searchsorted(legends[ic].pos, pos)
+            cols.append(idx + ic * chr_len)
+            effs.append(info[chrom].a)
+        cv_idx = jnp.asarray(np.concatenate(cols), dtype=jnp.int32)
+        eff = jnp.asarray(np.concatenate(effs), dtype=jnp.float32)
+        cfg = PackedConfig(**{**cfg.__dict__, "ncv": int(cv_idx.shape[0])})
+    else:
+        # neutral marker set spread over real columns
+        cv_idx = jnp.asarray(
+            np.linspace(0, m_real[0] - 1, cfg.ncv).astype(np.int32)
+        )
+        eff = jax.random.normal(
+            jax.random.fold_in(key, 1), (cfg.ncv,), dtype=jnp.float32
+        )
+
+    state = {"hapA": hapA, "hapB": hapB, "cv_idx": cv_idx, "eff": eff}
+    return PanelScenario(
+        cfg=cfg,
+        state=state,
+        xo_cdf=jnp.asarray(np.concatenate(cdf), dtype=jnp.float32),
+        chrs=chrs,
+        m_real=m_real,
+        legends=legends,
+        indv_ids=list(indv_ids),
+    )
+
+
+def evolve(
+    sc: PanelScenario, gens: int, seed: int = 2, log=print
+) -> dict:
+    """Run `gens` generations; returns the final state."""
+    step = jax.jit(make_step(sc.cfg, xo_cdf=sc.xo_cdf))
+    state = sc.state
+    key = jax.random.key(seed)
+    for g in range(gens):
+        state = step(state, jax.random.fold_in(key, g))
+    jax.block_until_ready(state)
+    sc.state = state
+    return state
+
+
+def write_hap(sc: PanelScenario, prefix: str, gen: int) -> None:
+    """Per-chromosome .hap/.indv output of the current state."""
+    n = sc.state["hapA"].shape[0]
+    for ic, chrom in enumerate(sc.chrs):
+        lo_b = ic * sc.chr_len // 8
+        hi_b = (ic + 1) * sc.chr_len // 8
+        a = unpack_bits(sc.state["hapA"][:, lo_b:hi_b], sc.chr_len)
+        b = unpack_bits(sc.state["hapB"][:, lo_b:hi_b], sc.chr_len)
+        mat = np.empty((2 * n, sc.m_real[ic]), dtype=np.uint8)
+        mat[0::2] = np.asarray(a)[:, : sc.m_real[ic]]
+        mat[1::2] = np.asarray(b)[:, : sc.m_real[ic]]
+        base = f"{prefix}.gen{gen}.chr{chrom}"
+        hap_io.write_hap(base + ".hap", mat)
+        hap_io.write_indv(base + ".indv", np.arange(n) + 1)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--file_hap_name", required=True)
+    ap.add_argument("--file_recom_map", required=True)
+    ap.add_argument("--file_cv_info", default="")
+    ap.add_argument("--gens", type=int, default=10)
+    ap.add_argument("--pop_size", type=int, default=0)
+    ap.add_argument("--mut_rate", type=float, default=0.0)
+    ap.add_argument("--selection", action="store_true")
+    ap.add_argument("--out_hap", action="store_true")
+    ap.add_argument("--prefix", default="out.dense")
+    ap.add_argument("--seed", type=int, default=1)
+    args = ap.parse_args(argv)
+
+    t0 = time.time()
+    sc = load_panel(
+        args.file_hap_name,
+        args.file_recom_map,
+        cv_info=args.file_cv_info,
+        pop_size=args.pop_size or None,
+        mut_rate=args.mut_rate,
+        selection=args.selection,
+        seed=args.seed,
+    )
+    print(
+        f"panel: n={sc.cfg.n} chrs={sc.chrs} m={sc.cfg.m} "
+        f"(packed {sc.cfg.mb} bytes/chromatid), "
+        f"total map = {float(sc.xo_cdf[-1]):.2f} Morgans"
+    )
+    evolve(sc, args.gens, seed=args.seed + 1)
+    print(f"evolved {args.gens} generations in {time.time() - t0:.1f} s")
+    if args.out_hap:
+        write_hap(sc, args.prefix, args.gens)
+        print(f"wrote {args.prefix}.gen{args.gens}.chr*.hap")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -125,21 +125,43 @@ def _phase_batch(
     return phase.reshape(n, m)
 
 
-def _sample_gamete_plan(key, cfg: DenseConfig, n: int):
+def _sample_gamete_plan(key, cfg: DenseConfig, n: int, cdf=None):
     """Per-chromosome crossover columns (n, n_chr, K) — unsorted, pad = m —
     plus per-chr start chromatids (n, n_chr). Parity counting never needs
     sorted positions, and the per-chromosome layout is what the Pallas
-    kernel's BlockSpec index map slices from SMEM."""
+    kernel's BlockSpec index map slices from SMEM.
+
+    With `cdf` (an (m,) monotone array of cumulative Morgans at each
+    column), crossover counts are Poisson in each chromosome's map mass and
+    positions follow the map by inverse-CDF (`ras_sim_loc_rec` semantics,
+    `Simulation.cpp:2973-2995`); without it the map is uniform with
+    `morgans_per_chr` per chromosome."""
     k1, k2, k3 = jax.random.split(key, 3)
-    lam = cfg.morgans_per_chr
     K = cfg.xo_cap
-    counts = jnp.minimum(
-        jax.random.poisson(k1, lam, (n, cfg.n_chr)), K
-    )  # (n, n_chr)
-    u = jax.random.uniform(k2, (n, cfg.n_chr, K))
-    offs = (u * cfg.chr_len).astype(jnp.int32)
-    base = (jnp.arange(cfg.n_chr) * cfg.chr_len)[None, :, None]
-    pos = base + offs
+    if cdf is None:
+        counts = jnp.minimum(
+            jax.random.poisson(k1, cfg.morgans_per_chr, (n, cfg.n_chr)), K
+        )  # (n, n_chr)
+        u = jax.random.uniform(k2, (n, cfg.n_chr, K))
+        offs = (u * cfg.chr_len).astype(jnp.int32)
+        base = (jnp.arange(cfg.n_chr) * cfg.chr_len)[None, :, None]
+        pos = base + offs
+    else:
+        L = cfg.chr_len
+        hi = cdf[(jnp.arange(cfg.n_chr) + 1) * L - 1]
+        lo = jnp.concatenate([jnp.zeros((1,), cdf.dtype), hi[:-1]])
+        lam = hi - lo  # (n_chr,) Morgans per chromosome
+        counts = jnp.minimum(
+            jax.random.poisson(k1, lam[None, :], (n, cfg.n_chr)), K
+        )
+        u = (
+            lo[None, :, None]
+            + jax.random.uniform(k2, (n, cfg.n_chr, K), dtype=cdf.dtype)
+            * lam[None, :, None]
+        )
+        pos = jnp.searchsorted(cdf, u.reshape(n, -1)).reshape(
+            n, cfg.n_chr, K
+        ).astype(jnp.int32)
     xo = jnp.where(jnp.arange(K)[None, None, :] < counts[..., None], pos, cfg.m)
     start = jax.random.randint(k3, (n, cfg.n_chr), 0, 2)
     return xo, start
@@ -178,8 +200,11 @@ def phenotype_additive(hapA, hapB, cv_idx, eff):
     return (t - 2.0 * p[None, :]) @ eff  # (n,) on MXU
 
 
-def make_step(cfg: DenseConfig):
-    """Returns step(state, key) -> state, jittable and shardable."""
+def make_step(cfg: DenseConfig, xo_cdf=None):
+    """Returns step(state, key) -> state, jittable and shardable.
+
+    xo_cdf: optional (m,) cumulative-Morgans-per-column array for
+    map-aware crossover placement (see `_sample_gamete_plan`)."""
     pair_fn = None
     if cfg.use_pallas:
         from geneevolve_tpu.ops import meiosis_pallas as mp
@@ -206,8 +231,8 @@ def make_step(cfg: DenseConfig):
             fathers = jax.random.randint(km1, (n,), 0, n_par)
             mothers = jax.random.randint(km2, (n,), 0, n_par)
 
-        xo_p, st_p = _sample_gamete_plan(k_pat, cfg, n)
-        xo_m, st_m = _sample_gamete_plan(k_mat, cfg, n)
+        xo_p, st_p = _sample_gamete_plan(k_pat, cfg, n, xo_cdf)
+        xo_m, st_m = _sample_gamete_plan(k_mat, cfg, n, xo_cdf)
         if pair_fn is not None:
             childA, childB = pair_fn(
                 hapA, hapB, fathers, mothers, xo_p, st_p, xo_m, st_m

@@ -7,6 +7,7 @@ are inserted by XLA from sharding annotations.
 """
 
 from geneevolve_tpu.parallel.mesh import (  # noqa: F401
+    make_deme_step,
     make_mesh,
     make_sharded_step,
     shard_state,

@@ -54,7 +54,12 @@ def make_sharded_step(cfg, mesh: Mesh):
     state. Parent-row gathers ride the 'ind' axis; the allele-frequency
     reduction in the phenotype path is a psum over 'ind'; crossover plans are
     replicated along 'loci'. Accepts a DenseConfig or PackedConfig (the
-    packed engine shards identically: the loci axis just carries bytes)."""
+    packed engine shards identically: the loci axis just carries bytes).
+
+    This is the *panmictic* (global random mating) mode: exact single-device
+    semantics, but the cross-shard parent gather costs an all-gather of the
+    parent planes along 'ind'. For linear weak scaling use
+    `make_deme_step`."""
     from geneevolve_tpu.dense.packed import PackedConfig
     from geneevolve_tpu.dense.packed import make_step as make_packed_step
 
@@ -70,3 +75,113 @@ def make_sharded_step(cfg, mesh: Mesh):
     )
     out_shardings = {k: NamedSharding(mesh, v) for k, v in specs.items()}
     return jax.jit(step, in_shardings=in_shardings, out_shardings=out_shardings)
+
+
+def make_deme_step(cfg, mesh: Mesh):
+    """Deme-mode sharded generation step (shard_map over the mesh).
+
+    Each individuals-shard is a *deme*: children pick parents within their
+    own shard, so meiosis needs zero cross-device traffic; chromosomes are
+    split whole across loci shards, so crossover plans are per-shard
+    independent. The only collective is one small `psum` over 'loci' to
+    assemble the selection phenotype from each shard's CV columns. This is
+    the linear-weak-scaling configuration (the biological analog of
+    subpopulations with migration handled at a higher level); panmictic
+    exact mode is `make_sharded_step`.
+
+    Requires cfg.n % mesh_ind == 0 and cfg.n_chr % mesh_loci == 0."""
+    from geneevolve_tpu.dense.packed import (
+        PackedConfig,
+        apply_mutations_packed,
+        make_meiose,
+        mutation_positions,
+        popcount_dosage,
+    )
+    from geneevolve_tpu.dense.step import _sample_gamete_plan
+
+    try:
+        from jax import shard_map  # jax >= 0.5
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+
+    assert isinstance(cfg, PackedConfig)
+    ind_n, loci_n = mesh.devices.shape
+    assert cfg.n % ind_n == 0, (cfg.n, ind_n)
+    assert cfg.n_chr % loci_n == 0, (cfg.n_chr, loci_n)
+    cfg_loc = PackedConfig(
+        n=cfg.n // ind_n,
+        m=cfg.m // loci_n,
+        n_chr=cfg.n_chr // loci_n,
+        morgans_per_chr=cfg.morgans_per_chr,
+        xo_cap=cfg.xo_cap,
+        mut_rate=cfg.mut_rate / loci_n,  # genome rate split over loci shards
+        mut_cap=cfg.mut_cap,
+        ncv=cfg.ncv,
+        selection=cfg.selection,
+        use_pallas=cfg.use_pallas,
+    )
+    meiose = make_meiose(cfg_loc)
+    dense_loc = cfg_loc.as_dense()
+    n_loc, m_loc = cfg_loc.n, cfg_loc.m
+
+    def local_step(state, key):
+        i = jax.lax.axis_index("ind")
+        j = jax.lax.axis_index("loci")
+        hapA, hapB = state["hapA"], state["hapB"]
+        k_ind = jax.random.fold_in(key, i)  # loci-invariant: mating
+        k_loc = jax.random.fold_in(k_ind, 1 + j)  # per-shard: xo/mutation
+        k_mate, _ = jax.random.split(k_ind)
+        k_pat, k_mat, k_mu1, k_mu2 = jax.random.split(k_loc, 4)
+
+        if cfg.selection:
+            lo = j * m_loc
+            cv_idx = state["cv_idx"]  # global column indices, replicated
+            inrange = (cv_idx >= lo) & (cv_idx < lo + m_loc)
+            idx_loc = jnp.clip(cv_idx - lo, 0, m_loc - 1)
+            t = (
+                popcount_dosage(hapA, idx_loc)
+                + popcount_dosage(hapB, idx_loc)
+            ).astype(jnp.float32) * inrange[None, :]
+            p = jnp.mean(t, axis=0) / 2.0  # deme-local allele freqs
+            bv = jax.lax.psum(
+                (t - 2.0 * p[None, :]) @ state["eff"], "loci"
+            )
+            z = (bv - jnp.mean(bv)) / (jnp.std(bv) + 1e-9)
+            km1, km2 = jax.random.split(k_mate)
+            fathers = jax.random.categorical(km1, z, shape=(n_loc,))
+            mothers = jax.random.categorical(km2, z, shape=(n_loc,))
+        else:
+            km1, km2 = jax.random.split(k_mate)
+            fathers = jax.random.randint(km1, (n_loc,), 0, n_loc)
+            mothers = jax.random.randint(km2, (n_loc,), 0, n_loc)
+
+        xo_p, st_p = _sample_gamete_plan(k_pat, dense_loc, n_loc)
+        xo_m, st_m = _sample_gamete_plan(k_mat, dense_loc, n_loc)
+        childA, childB = meiose(
+            hapA, hapB, fathers, mothers, xo_p, st_p, xo_m, st_m
+        )
+        if cfg.mut_rate > 0:
+            childA = apply_mutations_packed(
+                childA, mutation_positions(k_mu1, n_loc, cfg_loc)
+            )
+            childB = apply_mutations_packed(
+                childB, mutation_positions(k_mu2, n_loc, cfg_loc)
+            )
+        return {
+            "hapA": childA,
+            "hapB": childB,
+            "cv_idx": state["cv_idx"],
+            "eff": state["eff"],
+        }
+
+    specs = state_specs()
+    # cv_idx/eff replicated; haplotypes block-sharded
+    return jax.jit(
+        shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(specs, P()),
+            out_specs=specs,
+            check_vma=False,
+        )
+    )

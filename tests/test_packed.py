@@ -97,13 +97,50 @@ def test_packed_sharded_step_matches_single_device():
         )
 
 
+def test_deme_step_isolates_shards():
+    """Deme-mode sharded step runs; each individuals-shard evolves as an
+    isolated deme (children carry only their own shard's founder alleles)."""
+    from geneevolve_tpu.parallel import make_deme_step, make_mesh, shard_state
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(jax.devices()[:8])  # (4, 2) ind x loci
+    ind_n = mesh.devices.shape[0]
+    pcfg, _ = _cfgs(n=8 * ind_n, m=4096, n_chr=4, selection=True,
+                    mut_rate=0.0)
+    state = pk.init_state(jax.random.key(0), pcfg)
+    # mark each deme's founders: deme d gets constant allele d & 1 at the
+    # first byte of every chromatid
+    marker = np.repeat((np.arange(ind_n) & 1) * 0xFF, pcfg.n // ind_n)
+    hapA = np.array(state["hapA"])
+    hapA[:, 0] = marker
+    state["hapA"] = jnp.asarray(hapA)
+    state["hapB"] = jnp.asarray(hapA)
+    state = shard_state(state, mesh)
+    step = make_deme_step(pcfg, mesh)
+    out = state
+    for g in range(3):
+        out = step(out, jax.random.key(g))
+    got = np.asarray(out["hapA"])[:, 0]
+    np.testing.assert_array_equal(got, marker)
+
+
+def test_sparse_mutation_matches_byte_masks():
+    """Scatter-XOR mutation application equals the full-plane XOR-mask pass."""
+    pcfg, _ = _cfgs(mut_rate=1.5, mut_cap=4)
+    state = pk.init_state(jax.random.key(2), pcfg)
+    key = jax.random.key(11)
+    pos = pk.mutation_positions(key, pcfg.n, pcfg)
+    ref = state["hapA"] ^ pk.mutation_bytes(key, pcfg.n, pcfg)
+    got = pk.apply_mutations_packed(state["hapA"], pos)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
 def test_packed_pallas_interpret_matches_xla():
     from geneevolve_tpu.ops import meiosis_packed_pallas as mpp
     from jax.experimental.pallas import tpu as pltpu
 
-    pcfg = pk.PackedConfig(
-        n=6, m=8 * 2 * mpp.BLOCK_B, n_chr=2, xo_cap=4
-    )
+    pcfg = pk.PackedConfig(n=6, m=8 * 2048, n_chr=2, xo_cap=4)
     dcfg = pcfg.as_dense()
     state = pk.init_state(jax.random.key(0), pcfg)
     hapA, hapB = state["hapA"], state["hapB"]
