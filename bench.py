@@ -65,10 +65,10 @@ def run(n: int, m: int, gens: int, use_pallas: bool, packed: bool) -> float:
     # warmup / compile; force a device->host scalar fetch as the sync point
     # (block_until_ready can return early on tunneled remote backends)
     out = evolve(state, jax.random.key(1))
-    float(out["hapA"][0, 0])
+    float(out["hap"][0, 0, 0])
     t0 = time.perf_counter()
     out = evolve(state, jax.random.key(2))
-    float(out["hapA"][0, 0])
+    float(out["hap"][0, 0, 0])
     dt = time.perf_counter() - t0
     return n * m * gens / dt
 

@@ -1,24 +1,27 @@
-"""Bit-packed dense engine: 8 loci per byte.
+"""Bit-packed dense engine: 32 loci per uint32 word.
 
 Meiosis, mutation, and chromatid selection are all bitwise, so the haplotype
-planes pack losslessly into `(n, mb)` uint8 with `mb = m / 8` (locus l lives
-in byte `l >> 3`, bit `l & 7`, LSB-first). Every HBM pass shrinks 8x against
-the byte engine (`dense/step.py`), which is the whole game for an
-HBM-bandwidth-bound simulator.
+planes pack losslessly into one `(n, 2, mw)` uint32 array with `mw = m / 32`
+(locus l lives in word `l >> 5`, bit `l & 31`, LSB-first; plane 0/1 =
+chromatid A/B). Every HBM pass shrinks 32x against the byte engine
+(`dense/step.py`) per element — 8x in bytes — and the combined plane layout
+lets the Pallas kernel move a whole parent (both chromatids) in one DMA
+descriptor, which is what the DMA-issue-rate-bound gather needs (see
+DESIGN.md and `ops/meiosis_packed_pallas.py`).
 
-The crossover phase becomes a *byte mask*: parity-of-count is XOR of
+The crossover phase is a *word mask*: parity-of-count is XOR of
 per-crossover indicators, and the indicator of "locus >= xo" restricted to
-one chromosome is, per byte column b (within the chromosome),
+one chromosome is, per word w (global column space),
 
-    mask_k[b] = 0xFF            if b >  xo >> 3
-              = 0xFF << (xo&7)  if b == xo >> 3      (boundary byte)
-              = 0x00            otherwise
+    mask_k[w] = ~0                  if w >  xo >> 5
+              = ~0 << (xo & 31)     if w == xo >> 5     (boundary word)
+              = 0                   otherwise
 
-so `phase_mask = (st ? 0xFF : 0) ^ XOR_k mask_k` and the gamete is the
-arithmetic select `A ^ (phase_mask & (A ^ B))`. De novo mutations XOR
-single-bit bytes in the same way. Reference semantics: `recombine` +
-`ras_sim_loc_rec` + `ras_add_mutation`
-(`/root/reference/src/Simulation.cpp:2903-2995, 2497-2552`).
+so `phase = (start ? ~0 : 0) ^ XOR_k mask_k` and the gamete is the
+arithmetic select `A ^ (phase & (A ^ B))`. De novo mutations XOR single-bit
+words the same way. Reference semantics: `recombine` + `ras_sim_loc_rec` +
+`ras_add_mutation` (`/root/reference/src/Simulation.cpp:2903-2995,
+2497-2552`).
 """
 
 from __future__ import annotations
@@ -32,29 +35,33 @@ import numpy as np
 
 from geneevolve_tpu.dense.step import DenseConfig, _sample_gamete_plan
 
+FULL = np.uint32(0xFFFFFFFF)
+
 
 def pack_bits(bits: jax.Array) -> jax.Array:
-    """(..., m) 0/1 uint8 -> (..., m/8) uint8, LSB-first."""
+    """(..., m) 0/1 -> (..., m/32) uint32, LSB-first."""
     m = bits.shape[-1]
-    assert m % 8 == 0
-    b = bits.reshape(*bits.shape[:-1], m // 8, 8).astype(jnp.uint8)
-    w = jnp.left_shift(b, jnp.arange(8, dtype=jnp.uint8))
-    # bits occupy distinct positions, so sum == bitwise or (max 0xFF)
-    return w.sum(axis=-1, dtype=jnp.uint8)
+    assert m % 32 == 0
+    b = bits.reshape(*bits.shape[:-1], m // 32, 32).astype(jnp.uint32)
+    w = jnp.left_shift(b, jnp.arange(32, dtype=jnp.uint32))
+    # bits occupy distinct positions, so sum == bitwise or
+    return w.sum(axis=-1, dtype=jnp.uint32)
 
 
 def unpack_bits(packed: jax.Array, m: int) -> jax.Array:
-    """(..., mb) uint8 -> (..., m) 0/1 uint8."""
+    """(..., mw) uint32 -> (..., m) 0/1 uint8."""
     w = jnp.right_shift(
-        packed[..., None], jnp.arange(8, dtype=jnp.uint8)
-    ) & jnp.uint8(1)
-    return w.reshape(*packed.shape[:-1], packed.shape[-1] * 8)[..., :m]
+        packed[..., None], jnp.arange(32, dtype=jnp.uint32)
+    ) & jnp.uint32(1)
+    return w.reshape(*packed.shape[:-1], packed.shape[-1] * 32)[
+        ..., :m
+    ].astype(jnp.uint8)
 
 
 @dataclass(frozen=True)
 class PackedConfig:
     n: int
-    m: int  # loci; must be divisible by 8*n_chr
+    m: int  # loci; must be divisible by 32*n_chr
     n_chr: int = 1
     morgans_per_chr: float = 1.0
     xo_cap: int = 16
@@ -69,12 +76,8 @@ class PackedConfig:
         return self.m // self.n_chr
 
     @property
-    def mb(self) -> int:
-        return self.m // 8
-
-    @property
-    def chr_lenb(self) -> int:
-        return self.chr_len // 8
+    def mw(self) -> int:
+        return self.m // 32
 
     def as_dense(self) -> DenseConfig:
         return DenseConfig(
@@ -94,71 +97,74 @@ def init_state(key: jax.Array, cfg: PackedConfig, maf_min: float = 0.05):
     """Packed founder planes + CV columns/effects."""
     from geneevolve_tpu.dense.step import init_state as dense_init
 
-    assert cfg.m % 8 == 0 and cfg.chr_len % 8 == 0
+    assert cfg.m % 32 == 0 and cfg.chr_len % 32 == 0
     st = dense_init(key, cfg.as_dense(), maf_min)
     return {
-        "hapA": pack_bits(st["hapA"]),
-        "hapB": pack_bits(st["hapB"]),
+        "hap": jnp.stack(
+            [pack_bits(st["hapA"]), pack_bits(st["hapB"])], axis=1
+        ),
         "cv_idx": st["cv_idx"],
         "eff": st["eff"],
     }
 
 
-def phase_byte_masks(
+def phase_word_masks(
     xo: jax.Array,  # (n, n_chr, K) crossover loci columns, pad = m
     start: jax.Array,  # (n, n_chr)
     cfg: PackedConfig,
 ) -> jax.Array:
-    """(n, mb) uint8 phase mask per gamete: bit set -> take chromatid B."""
+    """(n, mw) uint32 phase mask per gamete: bit set -> take chromatid B."""
     n, n_chr, K = xo.shape
-    clb = cfg.chr_lenb
-    # byte columns local to a chromosome: (1, 1, clb)
-    cols = jnp.arange(clb, dtype=jnp.int32)[None, None, :]
-    chr_base = (jnp.arange(n_chr, dtype=jnp.int32) * cfg.chr_len)[None, :, None]
-    mask = jnp.where(
-        (start[:, :, None] & 1) == 1, jnp.uint8(0xFF), jnp.uint8(0)
-    )
-    mask = jnp.broadcast_to(mask, (n, n_chr, clb))
+    cw = cfg.chr_len // 32
+    # word columns local to a chromosome: (1, 1, cw)
+    cols = jnp.arange(cw, dtype=jnp.int32)[None, None, :]
+    chr_base = (jnp.arange(n_chr, dtype=jnp.int32) * cfg.chr_len)[
+        None, :, None
+    ]
+    mask = jnp.where((start[:, :, None] & 1) == 1, FULL, jnp.uint32(0))
+    mask = jnp.broadcast_to(mask, (n, n_chr, cw))
     for k in range(K):
         x = xo[:, :, k : k + 1] - chr_base  # local locus offset; pad -> huge
-        xb = x >> 3
-        r = (x & 7).astype(jnp.uint8)
-        ge = (cols > xb).astype(jnp.uint8) * jnp.uint8(0xFF)
-        partial = jnp.left_shift(jnp.uint8(0xFF), r)
-        eq = jnp.where(cols == xb, partial, jnp.uint8(0))
-        mask = mask ^ (ge | eq)
-    return mask.reshape(n, cfg.mb)
+        xw = x >> 5
+        partial = jnp.left_shift(FULL, (x & 31).astype(jnp.uint32))
+        term = jnp.where(cols > xw, FULL, jnp.uint32(0)) | jnp.where(
+            cols == xw, partial, jnp.uint32(0)
+        )
+        mask = mask ^ term
+    return mask.reshape(n, cfg.mw)
 
 
 def apply_mutations_packed(child: jax.Array, pos: jax.Array) -> jax.Array:
     """XOR single-bit flips at loci `pos` ((n, Km) int32, pad = m) into
-    packed rows (n, mb), as a full-plane XOR-mask pass. Repeated draws flip
+    packed rows (n, mw), as a full-plane XOR-mask pass. Repeated draws flip
     twice and cancel (per-occurrence semantics, `Simulation.cpp:1218-1222`).
 
     Measured note: sparse gather/scatter formulations are *slower* on TPU —
     XLA lowers scatter near-serially (~13 ms for 32k indices on v5e) — while
-    the mask construction fuses into one ~free streaming pass."""
-    n, mb = child.shape
-    cols = jnp.arange(mb, dtype=jnp.int32)[None, :]
-    hit = jnp.zeros((n, mb), dtype=jnp.uint8)
+    the mask construction fuses into one streaming pass. On the Pallas path
+    mutations are fused into the meiosis kernel instead (zero extra HBM
+    traffic)."""
+    n, mw = child.shape
+    cols = jnp.arange(mw, dtype=jnp.int32)[None, :]
+    hit = jnp.zeros((n, mw), dtype=jnp.uint32)
     for k in range(pos.shape[1]):
         p = pos[:, k : k + 1]
-        bit = jnp.left_shift(jnp.uint8(1), (p & 7).astype(jnp.uint8))
-        hit = hit ^ jnp.where(cols == (p >> 3), bit, jnp.uint8(0))
+        bit = jnp.left_shift(jnp.uint32(1), (p & 31).astype(jnp.uint32))
+        hit = hit ^ jnp.where(cols == (p >> 5), bit, jnp.uint32(0))
     return child ^ hit
 
 
-def meiose_packed_xla(hapA, hapB, parent, xo, start, cfg: PackedConfig):
-    """(n_child, mb) packed gametes."""
-    mask = phase_byte_masks(xo, start, cfg)
-    a = hapA[parent]
-    b = hapB[parent]
+def meiose_packed_xla(hap, parent, xo, start, cfg: PackedConfig):
+    """(n_child, mw) packed gametes from parent planes (N, 2, mw)."""
+    mask = phase_word_masks(xo, start, cfg)
+    a = hap[parent, 0]
+    b = hap[parent, 1]
     return a ^ (mask & (a ^ b))
 
 
 def mutation_positions(key, n: int, cfg: PackedConfig) -> jax.Array:
-    """(n, mut_cap) int32 de novo mutation loci, pad = m (past the last byte).
-    Same key schedule as the byte engine's `_apply_mutations`
+    """(n, mut_cap) int32 de novo mutation loci, pad = m (past the last
+    word). Same key schedule as the byte engine's `_apply_mutations`
     (`dense/step.py`), so both engines flip identical loci."""
     k1, k2 = jax.random.split(key)
     counts = jnp.minimum(
@@ -169,52 +175,48 @@ def mutation_positions(key, n: int, cfg: PackedConfig) -> jax.Array:
     return jnp.where(valid, pos, cfg.m).astype(jnp.int32)
 
 
-def mutation_bytes(key, n: int, cfg: PackedConfig) -> jax.Array:
-    """(n, mb) uint8 XOR masks with <= mut_cap set bits per row."""
-    pos = mutation_positions(key, n, cfg)
-    return apply_mutations_packed(jnp.zeros((n, cfg.mb), jnp.uint8), pos)
-
-
 def popcount_dosage(packed: jax.Array, idx: jax.Array) -> jax.Array:
-    """Extract 0/1 alleles at loci `idx` from packed rows (..., mb)."""
-    byte = packed[..., idx >> 3]
-    return (byte >> (idx & 7).astype(jnp.uint8)) & jnp.uint8(1)
+    """Extract 0/1 alleles at loci `idx` from packed word rows (..., mw)."""
+    word = packed[..., idx >> 5]
+    return (
+        (word >> (idx & 31).astype(jnp.uint32)) & jnp.uint32(1)
+    ).astype(jnp.uint8)
 
 
-def phenotype_additive_packed(hapA, hapB, cv_idx, eff):
+def phenotype_additive_packed(hap, cv_idx, eff):
     t = (
-        popcount_dosage(hapA, cv_idx) + popcount_dosage(hapB, cv_idx)
+        popcount_dosage(hap[:, 0], cv_idx) + popcount_dosage(hap[:, 1], cv_idx)
     ).astype(jnp.float32)
     p = jnp.mean(t, axis=0) / 2.0
     return (t - 2.0 * p[None, :]) @ eff
 
 
-def make_meiose(cfg: PackedConfig):
-    """meiose(hapA, hapB, fathers, mothers, xo_p, st_p, xo_m, st_m) ->
-    (childA, childB): the Pallas kernel when eligible, else the XLA
-    byte-mask path (which stays the oracle)."""
-    pair_fn = None
-    if cfg.use_pallas:
+def pallas_eligible(cfg: PackedConfig) -> bool:
+    return cfg.use_pallas and cfg.chr_len % (32 * 128) == 0
+
+
+def make_reproduce(cfg: PackedConfig):
+    """reproduce(hap, fathers, mothers, xo_p, st_p, xo_m, st_m, mu) ->
+    (n, 2, mw) child planes, with mutations (mu: (n, 2, Km) loci or None)
+    fused on the Pallas path; the XLA word-mask path stays the oracle."""
+    use_pallas = pallas_eligible(cfg)
+    if use_pallas:
         from geneevolve_tpu.ops import meiosis_packed_pallas as mpp
 
-        bb = min(mpp.BLOCK_B, cfg.chr_lenb)
-        while cfg.chr_lenb % bb:
-            bb //= 2
-        if bb >= 128 and cfg.mb % bb == 0:
-            pair_fn = partial(
-                mpp.meiose_planes_packed_pallas,
-                n_chr=cfg.n_chr,
-                chr_len=cfg.chr_len,
+    def reproduce(hap, fathers, mothers, xo_p, st_p, xo_m, st_m, mu=None):
+        if use_pallas:
+            return mpp.meiose_packed_pallas(
+                hap, fathers, mothers, xo_p, st_p, xo_m, st_m, mu,
+                n_chr=cfg.n_chr, chr_len=cfg.chr_len,
             )
+        childA = meiose_packed_xla(hap, fathers, xo_p, st_p, cfg)
+        childB = meiose_packed_xla(hap, mothers, xo_m, st_m, cfg)
+        if mu is not None:
+            childA = apply_mutations_packed(childA, mu[:, 0])
+            childB = apply_mutations_packed(childB, mu[:, 1])
+        return jnp.stack([childA, childB], axis=1)
 
-    def meiose(hapA, hapB, fathers, mothers, xo_p, st_p, xo_m, st_m):
-        if pair_fn is not None:
-            return pair_fn(hapA, hapB, fathers, mothers, xo_p, st_p, xo_m, st_m)
-        childA = meiose_packed_xla(hapA, hapB, fathers, xo_p, st_p, cfg)
-        childB = meiose_packed_xla(hapA, hapB, mothers, xo_m, st_m, cfg)
-        return childA, childB
-
-    return meiose
+    return reproduce
 
 
 def make_step(cfg: PackedConfig, xo_cdf=None):
@@ -222,18 +224,18 @@ def make_step(cfg: PackedConfig, xo_cdf=None):
     (`dense/step.py:make_step`) — bit-identical after unpacking when driven
     with the same keys. xo_cdf: optional (m,) cumulative-Morgans array for
     map-aware crossovers."""
-    meiose = make_meiose(cfg)
+    reproduce = make_reproduce(cfg)
     dense_cfg = cfg.as_dense()
 
     def step(state, key):
-        hapA, hapB = state["hapA"], state["hapB"]
-        n_par = hapA.shape[0]
+        hap = state["hap"]
+        n_par = hap.shape[0]
         n = cfg.n
         k_mate, k_pat, k_mat, k_mu1, k_mu2 = jax.random.split(key, 5)
 
         if cfg.selection:
             bv = phenotype_additive_packed(
-                hapA, hapB, state["cv_idx"], state["eff"]
+                hap, state["cv_idx"], state["eff"]
             )
             z = (bv - jnp.mean(bv)) / (jnp.std(bv) + 1e-9)
             km1, km2 = jax.random.split(k_mate)
@@ -246,19 +248,18 @@ def make_step(cfg: PackedConfig, xo_cdf=None):
 
         xo_p, st_p = _sample_gamete_plan(k_pat, dense_cfg, n, xo_cdf)
         xo_m, st_m = _sample_gamete_plan(k_mat, dense_cfg, n, xo_cdf)
-        childA, childB = meiose(
-            hapA, hapB, fathers, mothers, xo_p, st_p, xo_m, st_m
-        )
+        mu = None
         if cfg.mut_rate > 0:
-            childA = apply_mutations_packed(
-                childA, mutation_positions(k_mu1, n, cfg)
+            mu = jnp.stack(
+                [
+                    mutation_positions(k_mu1, n, cfg),
+                    mutation_positions(k_mu2, n, cfg),
+                ],
+                axis=1,
             )
-            childB = apply_mutations_packed(
-                childB, mutation_positions(k_mu2, n, cfg)
-            )
+        child = reproduce(hap, fathers, mothers, xo_p, st_p, xo_m, st_m, mu)
         return {
-            "hapA": childA,
-            "hapB": childB,
+            "hap": child,
             "cv_idx": state["cv_idx"],
             "eff": state["eff"],
         }

@@ -98,7 +98,11 @@ def load_panel(
         cMs.append(cm)
         m_real.append(panel.shape[1])
 
-    chr_len = ((max(m_real) + 7) // 8) * 8
+    # pad to word multiples; on TPU pad to the Pallas kernel's alignment
+    # (32 loci x 128 lanes) so the fused kernel path is eligible — padding
+    # columns carry zero map mass and are dropped at output
+    unit = 4096 if jax.default_backend() == "tpu" else 32
+    chr_len = ((max(m_real) + unit - 1) // unit) * unit
     n0 = panels[0].shape[0] // 2
     m = chr_len * len(chrs)
 
@@ -114,8 +118,13 @@ def load_panel(
         c = total + np.cumsum(mass)
         total = c[-1]
         cdf.append(_pad_to(c, chr_len, total))
-    hapA = pack_bits(jnp.asarray(np.concatenate(planes_a, axis=1)))
-    hapB = pack_bits(jnp.asarray(np.concatenate(planes_b, axis=1)))
+    hap = jnp.stack(
+        [
+            pack_bits(jnp.asarray(np.concatenate(planes_a, axis=1))),
+            pack_bits(jnp.asarray(np.concatenate(planes_b, axis=1))),
+        ],
+        axis=1,
+    )
 
     n = pop_size or n0
     cfg = PackedConfig(
@@ -135,7 +144,7 @@ def load_panel(
     if n != n0:
         # bootstrap the founders up/down to the requested population size
         rows = jax.random.randint(key, (n,), 0, n0)
-        hapA, hapB = hapA[rows], hapB[rows]
+        hap = hap[rows]
 
     if cv_info:
         info = tables.read_cv_info(cv_info, chrs)
@@ -157,7 +166,7 @@ def load_panel(
             jax.random.fold_in(key, 1), (cfg.ncv,), dtype=jnp.float32
         )
 
-    state = {"hapA": hapA, "hapB": hapB, "cv_idx": cv_idx, "eff": eff}
+    state = {"hap": hap, "cv_idx": cv_idx, "eff": eff}
     return PanelScenario(
         cfg=cfg,
         state=state,
@@ -185,12 +194,12 @@ def evolve(
 
 def write_hap(sc: PanelScenario, prefix: str, gen: int) -> None:
     """Per-chromosome .hap/.indv output of the current state."""
-    n = sc.state["hapA"].shape[0]
+    n = sc.state["hap"].shape[0]
     for ic, chrom in enumerate(sc.chrs):
-        lo_b = ic * sc.chr_len // 8
-        hi_b = (ic + 1) * sc.chr_len // 8
-        a = unpack_bits(sc.state["hapA"][:, lo_b:hi_b], sc.chr_len)
-        b = unpack_bits(sc.state["hapB"][:, lo_b:hi_b], sc.chr_len)
+        lo_w = ic * sc.chr_len // 32
+        hi_w = (ic + 1) * sc.chr_len // 32
+        a = unpack_bits(sc.state["hap"][:, 0, lo_w:hi_w], sc.chr_len)
+        b = unpack_bits(sc.state["hap"][:, 1, lo_w:hi_w], sc.chr_len)
         mat = np.empty((2 * n, sc.m_real[ic]), dtype=np.uint8)
         mat[0::2] = np.asarray(a)[:, : sc.m_real[ic]]
         mat[1::2] = np.asarray(b)[:, : sc.m_real[ic]]

@@ -1,17 +1,39 @@
-"""Pallas meiosis kernel over bit-packed haplotypes (8 loci per byte).
+"""Pallas meiosis kernel over bit-packed haplotypes (32 loci per uint32).
 
-Same pipeline structure as `ops/meiosis_pallas.py` (scalar-prefetched parent
-table drives the BlockSpec index maps; separate chromatid planes keep every
-access at sublane 0), but the state is packed and the crossover phase is a
-*byte mask* built on the VPU:
+The haplotype state is one array `(n, 2, mw)` uint32 — both chromatid planes
+of an individual adjacent in memory — viewed here as `(n, 2, R, 128)` with
+`R = mw / 128` rows of one VREG lane-width each. Per grid cell (one child,
+one row-block) the pipeline moves exactly THREE strided DMAs: the father's
+two planes, the mother's two planes, and the child's two gametes. That is
+the whole memory traffic of a generation: 4 plane-blocks read + 2 written,
+with crossover phase, chromatid select, and de novo mutation all fused on
+the VPU between them.
 
-    mask = (st ? 0xFF : 0) XOR_k ( (cols > xo_k>>3) * 0xFF
-                                 | (cols == xo_k>>3) * (0xFF << (xo_k & 7)) )
-    gamete = A ^ (mask & (A ^ B))
+Design rules learned on v5e hardware (see DESIGN.md):
+  - DMA descriptors cost ~0.2 us to issue; small per-chromosome blocks are
+    issue-rate-bound. Blocks span whole rows (multiple chromosomes when they
+    fit) and both planes ride one descriptor via the (n, 2, ...) layout.
+  - 1-D uint8 blocks waste the (32, 128) sublane tile; 2-D (rows, 128)
+    uint32 blocks keep every VPU lane busy and process 4 bytes per lane-op.
+  - No branches in the hot loop: every crossover/mutation slot up to the
+    static caps contributes an unconditional masked term (padding slots
+    compare past the last word and contribute zero).
 
-Per-child traffic drops 8x against the byte kernel: 4*(m/8) read +
-2*(m/8) written per generation. Reference semantics: `recombine` +
-`ras_sim_loc_rec` (`/root/reference/src/Simulation.cpp:2903-2995`).
+The crossover phase over a chromosome is parity-of-count, i.e. XOR of
+per-crossover suffix indicators; per 32-locus word w and crossover at locus
+x (word xw = x>>5):
+
+    term = 0xFFFFFFFF        if w >  xw
+         = 0xFFFFFFFF << (x & 31)  if w == xw     (boundary word)
+         = 0                 otherwise
+
+so `mask = (start ? ~0 : 0) XOR_k term_k` and the gamete is
+`A ^ (mask & (A ^ B))`. Crossover loci are global column indices and blocks
+are sliced per chromosome, so the suffix indicator never leaks across a
+chromosome boundary. De novo mutations are equality-masked single-bit XORs
+in the same pass. Reference semantics: `recombine` + `ras_sim_loc_rec` +
+`ras_add_mutation` (`/root/reference/src/Simulation.cpp:2903-2995,
+2497-2552`).
 """
 
 from __future__ import annotations
@@ -21,112 +43,169 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLOCK_B = int(os.environ.get("GE_PALLAS_BLOCK_B", 8192))  # bytes per grid cell
+LANES = 128
+# target rows per block: 512 rows x 128 lanes x 4 B = 256 KB per plane-pair
+MAX_ROWS = int(os.environ.get("GE_PALLAS_ROWS", 512))
+FULL = np.uint32(0xFFFFFFFF)
+U32 = jnp.uint32
+
+
+def pick_block_rows(n_chr: int, chr_rows: int, max_rows: int = 0) -> int:
+    """Rows per block: whole chromosomes when they fit under MAX_ROWS,
+    else the largest power-of-two split of one chromosome."""
+    max_rows = max_rows or MAX_ROWS
+    if chr_rows <= max_rows:
+        c = 1
+        for cand in range(n_chr, 0, -1):
+            if n_chr % cand == 0 and cand * chr_rows <= max_rows:
+                c = cand
+                break
+        return c * chr_rows
+    blk = chr_rows
+    while blk > max_rows and blk % 2 == 0:
+        blk //= 2
+    return blk
 
 
 def _kernel(
-    parents_ref,  # scalar-prefetch (2n,) int32, [f0, m0, f1, m1, ...]
-    fatA_ref,  # VMEM (1, 1, BLOCK_B) uint8
-    fatB_ref,
-    motA_ref,
-    motB_ref,
-    xo_ref,  # SMEM (1, 2, n_chr, K) int32 crossover loci (global, pad = m)
+    parents_ref,  # scalar prefetch (2n,) int32: [f0, m0, f1, m1, ...]
+    fat_ref,  # VMEM (1, 2, blk_rows, LANES) uint32: father planes
+    mot_ref,  # VMEM (1, 2, blk_rows, LANES) uint32: mother planes
+    xo_ref,  # SMEM (1, 2, n_chr, K) int32 crossover loci (global, pad=m)
     st_ref,  # SMEM (1, 2, n_chr) int32 start chromatid
-    outA_ref,  # VMEM (1, 1, BLOCK_B) uint8
-    outB_ref,
+    mu_ref,  # SMEM (1, 2, Km) int32 mutation loci (global, pad=m) | None
+    out_ref,  # VMEM (1, 2, blk_rows, LANES) uint32: child gametes
     *,
-    chr_lenb: int,
+    chr_rows: int,
     K: int,
-    block_b: int,
+    blk_rows: int,
 ):
-    col0 = pl.program_id(1) * block_b
-    chr_idx = col0 // chr_lenb
-    cols = jax.lax.broadcasted_iota(jnp.int32, (1, block_b), 1) + col0
-    for g, (hA, hB, out) in (
-        (0, (fatA_ref, fatB_ref, outA_ref)),
-        (1, (motA_ref, motB_ref, outB_ref)),
-    ):
-        macc = jnp.full((1, block_b), st_ref[0, g, chr_idx] * 255, jnp.int32)
-        for k in range(K):
-            x = xo_ref[0, g, chr_idx, k]
-            xb = x >> 3
-            partial = jax.lax.shift_left(255, x & 7) & 255
-            term = jnp.where(cols > xb, 255, 0) | jnp.where(
-                cols == xb, partial, 0
-            )
-            macc = macc ^ term
-        mask = macc.astype(jnp.uint8)
-        a = hA[0]
-        out[0] = a ^ (mask & (a ^ hB[0]))
+    row0 = pl.program_id(1) * blk_rows
+    n_slices = max(1, blk_rows // chr_rows)
+    rows = min(blk_rows, chr_rows)
+    iota = jax.lax.broadcasted_iota(
+        jnp.int32, (rows, LANES), 0
+    ) * LANES + jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
+    for g, ref in ((0, fat_ref), (1, mot_ref)):
+        for cl in range(n_slices):
+            r0 = cl * rows
+            c = row0 // chr_rows + cl
+            widx = (row0 + r0) * LANES + iota  # global word indices
+            macc = jnp.where(
+                st_ref[0, g, c] == 1, FULL, np.uint32(0)
+            ) & jnp.full((rows, LANES), FULL, U32)
+            for k in range(K):
+                x = xo_ref[0, g, c, k]
+                xw = x >> 5
+                partial = jax.lax.shift_left(FULL, (x & 31).astype(U32))
+                macc = macc ^ (
+                    jnp.where(widx > xw, FULL, np.uint32(0))
+                    | jnp.where(widx == xw, partial, np.uint32(0))
+                )
+            a = ref[0, 0, r0 : r0 + rows, :]
+            b = ref[0, 1, r0 : r0 + rows, :]
+            child = a ^ (macc & (a ^ b))
+            if mu_ref is not None:
+                hit = jnp.zeros((rows, LANES), U32)
+                for k in range(mu_ref.shape[2]):
+                    p = mu_ref[0, g, k]
+                    bit = jax.lax.shift_left(
+                        np.uint32(1), (p & 31).astype(U32)
+                    )
+                    hit = hit ^ jnp.where(widx == (p >> 5), bit, np.uint32(0))
+                child = child ^ hit
+            out_ref[0, g, r0 : r0 + rows, :] = child
 
 
-@functools.partial(jax.jit, static_argnames=("n_chr", "chr_len"))
-def meiose_planes_packed_pallas(
-    hapA, hapB, fathers, mothers, xo_p, st_p, xo_m, st_m, *, n_chr, chr_len
+@functools.partial(
+    jax.jit, static_argnames=("n_chr", "chr_len", "max_rows")
+)
+def meiose_packed_pallas(
+    hap,  # (N, 2, mw) uint32 parent planes
+    fathers,  # (n,) int32
+    mothers,  # (n,) int32
+    xo_p,  # (n, n_chr, K) int32 crossover loci, global columns, pad = m
+    st_p,  # (n, n_chr) int32 start chromatid
+    xo_m,
+    st_m,
+    mu=None,  # (n, 2, Km) int32 de novo mutation loci, pad = m
+    *,
+    n_chr: int,
+    chr_len: int,
+    max_rows: int = 0,
 ):
-    """(childA, childB) each (n, mb) uint8 packed gametes.
+    """One fused reproduce pass: child = meiosis(father, mother) ^ mutations.
 
-    hapA/hapB: (N, mb) uint8 packed planes; xo_*: (n, n_chr, K) int32
-    crossover *loci* (global column space, pad = 8*mb); st_*: (n, n_chr).
-    Requires chr_lenb to contain a power-of-two divisor >= 128 (blocks
-    shrink to fit within one chromosome).
+    Returns (n, 2, mw) uint32 child planes (gamete from father in plane 0).
+    Requires chr_len % (32 * 128) == 0 (see `pick_block_rows`).
     """
     n = fathers.shape[0]
-    mb = hapA.shape[1]
+    mw = hap.shape[2]
     K = xo_p.shape[2]
-    chr_lenb = chr_len // 8
-    # block size adapts downward to the chromosome byte-length so blocks
-    # never straddle a chromosome boundary
-    block_b = BLOCK_B
-    while chr_lenb % block_b:
-        block_b //= 2
-    assert block_b >= 128 and mb % block_b == 0
+    chr_rows = chr_len // 32 // LANES
+    R = mw // LANES
+    assert chr_rows * LANES * 32 == chr_len and R * LANES == mw
+    blk_rows = pick_block_rows(n_chr, chr_rows, max_rows)
 
-    hapA3 = hapA.reshape(-1, 1, mb)
-    hapB3 = hapB.reshape(-1, 1, mb)
-    parents = jnp.stack([fathers, mothers], axis=1).astype(jnp.int32).reshape(-1)
-    xo = jnp.stack([xo_p, xo_m], axis=1).astype(jnp.int32)  # (n, 2, n_chr, K)
+    hap4 = hap.reshape(-1, 2, R, LANES)
+    parents = jnp.stack([fathers, mothers], 1).astype(jnp.int32).reshape(-1)
+    xo = jnp.stack([xo_p, xo_m], axis=1).astype(jnp.int32)
     st = jnp.stack([st_p, st_m], axis=1).astype(jnp.int32)
 
-    row_spec = pl.BlockSpec((1, 1, block_b), lambda i, j, ps: (i, 0, j))
-    grid = (n, mb // block_b)
-    outA, outB = pl.pallas_call(
-        functools.partial(_kernel, chr_lenb=chr_lenb, K=K, block_b=block_b),
+    in_specs = [
+        pl.BlockSpec(
+            (1, 2, blk_rows, LANES), lambda i, j, ps: (ps[2 * i], 0, j, 0)
+        ),
+        pl.BlockSpec(
+            (1, 2, blk_rows, LANES),
+            lambda i, j, ps: (ps[2 * i + 1], 0, j, 0),
+        ),
+        pl.BlockSpec(
+            (1, 2, n_chr, K),
+            lambda i, j, ps: (i, 0, 0, 0),
+            memory_space=pltpu.SMEM,
+        ),
+        pl.BlockSpec(
+            (1, 2, n_chr),
+            lambda i, j, ps: (i, 0, 0),
+            memory_space=pltpu.SMEM,
+        ),
+    ]
+    operands = [hap4, hap4, xo, st]
+    if mu is not None:
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 2, mu.shape[2]),
+                lambda i, j, ps: (i, 0, 0),
+                memory_space=pltpu.SMEM,
+            )
+        )
+        operands.append(mu.astype(jnp.int32))
+    kernel = functools.partial(
+        _kernel, chr_rows=chr_rows, K=K, blk_rows=blk_rows
+    )
+    if mu is None:
+        kernel = functools.partial(
+            lambda pr, f, m, x, s, o, *, k: k(pr, f, m, x, s, None, o),
+            k=kernel,
+        )
+
+    out = pl.pallas_call(
+        kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=grid,
-            in_specs=[
+            grid=(n, R // blk_rows),
+            in_specs=in_specs,
+            out_specs=[
                 pl.BlockSpec(
-                    (1, 1, block_b), lambda i, j, ps: (ps[2 * i], 0, j)
-                ),
-                pl.BlockSpec(
-                    (1, 1, block_b), lambda i, j, ps: (ps[2 * i], 0, j)
-                ),
-                pl.BlockSpec(
-                    (1, 1, block_b), lambda i, j, ps: (ps[2 * i + 1], 0, j)
-                ),
-                pl.BlockSpec(
-                    (1, 1, block_b), lambda i, j, ps: (ps[2 * i + 1], 0, j)
-                ),
-                pl.BlockSpec(
-                    (1, 2, n_chr, K),
-                    lambda i, j, ps: (i, 0, 0, 0),
-                    memory_space=pltpu.SMEM,
-                ),
-                pl.BlockSpec(
-                    (1, 2, n_chr),
-                    lambda i, j, ps: (i, 0, 0),
-                    memory_space=pltpu.SMEM,
-                ),
+                    (1, 2, blk_rows, LANES), lambda i, j, ps: (i, 0, j, 0)
+                )
             ],
-            out_specs=[row_spec, row_spec],
         ),
-        out_shape=[
-            jax.ShapeDtypeStruct((n, 1, mb), jnp.uint8),
-            jax.ShapeDtypeStruct((n, 1, mb), jnp.uint8),
-        ],
-    )(parents, hapA3, hapB3, hapA3, hapB3, xo, st)
-    return outA.reshape(n, mb), outB.reshape(n, mb)
+        out_shape=[jax.ShapeDtypeStruct((n, 2, R, LANES), U32)],
+    )(parents, *operands)
+    return out[0].reshape(n, 2, mw)

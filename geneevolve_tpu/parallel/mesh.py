@@ -32,7 +32,15 @@ def make_mesh(
     return Mesh(arr, ("ind", "loci"))
 
 
-def state_specs() -> dict:
+def state_specs(packed: bool = True) -> dict:
+    """PartitionSpecs for the engine state: individuals x loci block
+    sharding on the haplotype planes, CV columns/effects replicated."""
+    if packed:
+        return {
+            "hap": P("ind", None, "loci"),
+            "cv_idx": P(),
+            "eff": P(),
+        }
     return {
         "hapA": P("ind", "loci"),
         "hapB": P("ind", "loci"),
@@ -42,7 +50,7 @@ def state_specs() -> dict:
 
 
 def shard_state(state: dict, mesh: Mesh) -> dict:
-    specs = state_specs()
+    specs = state_specs(packed="hap" in state)
     return {
         k: jax.device_put(v, NamedSharding(mesh, specs[k]))
         for k, v in state.items()
@@ -52,9 +60,9 @@ def shard_state(state: dict, mesh: Mesh) -> dict:
 def make_sharded_step(cfg, mesh: Mesh):
     """jit'd generation step with (ind, loci) shardings on the haplotype
     state. Parent-row gathers ride the 'ind' axis; the allele-frequency
-    reduction in the phenotype path is a psum over 'ind'; crossover plans are
-    replicated along 'loci'. Accepts a DenseConfig or PackedConfig (the
-    packed engine shards identically: the loci axis just carries bytes).
+    reduction in the phenotype path is a psum over 'ind'; crossover plans
+    are replicated along 'loci'. Accepts a DenseConfig or PackedConfig (the
+    packed engine shards identically: the loci axis just carries words).
 
     This is the *panmictic* (global random mating) mode: exact single-device
     semantics, but the cross-shard parent gather costs an all-gather of the
@@ -63,12 +71,9 @@ def make_sharded_step(cfg, mesh: Mesh):
     from geneevolve_tpu.dense.packed import PackedConfig
     from geneevolve_tpu.dense.packed import make_step as make_packed_step
 
-    step = (
-        make_packed_step(cfg)
-        if isinstance(cfg, PackedConfig)
-        else make_step(cfg)
-    )
-    specs = state_specs()
+    packed = isinstance(cfg, PackedConfig)
+    step = make_packed_step(cfg) if packed else make_step(cfg)
+    specs = state_specs(packed)
     in_shardings = (
         {k: NamedSharding(mesh, v) for k, v in specs.items()},
         NamedSharding(mesh, P()),
@@ -92,8 +97,7 @@ def make_deme_step(cfg, mesh: Mesh):
     Requires cfg.n % mesh_ind == 0 and cfg.n_chr % mesh_loci == 0."""
     from geneevolve_tpu.dense.packed import (
         PackedConfig,
-        apply_mutations_packed,
-        make_meiose,
+        make_reproduce,
         mutation_positions,
         popcount_dosage,
     )
@@ -120,14 +124,14 @@ def make_deme_step(cfg, mesh: Mesh):
         selection=cfg.selection,
         use_pallas=cfg.use_pallas,
     )
-    meiose = make_meiose(cfg_loc)
+    reproduce = make_reproduce(cfg_loc)
     dense_loc = cfg_loc.as_dense()
     n_loc, m_loc = cfg_loc.n, cfg_loc.m
 
     def local_step(state, key):
         i = jax.lax.axis_index("ind")
         j = jax.lax.axis_index("loci")
-        hapA, hapB = state["hapA"], state["hapB"]
+        hap = state["hap"]
         k_ind = jax.random.fold_in(key, i)  # loci-invariant: mating
         k_loc = jax.random.fold_in(k_ind, 1 + j)  # per-shard: xo/mutation
         k_mate, _ = jax.random.split(k_ind)
@@ -139,8 +143,8 @@ def make_deme_step(cfg, mesh: Mesh):
             inrange = (cv_idx >= lo) & (cv_idx < lo + m_loc)
             idx_loc = jnp.clip(cv_idx - lo, 0, m_loc - 1)
             t = (
-                popcount_dosage(hapA, idx_loc)
-                + popcount_dosage(hapB, idx_loc)
+                popcount_dosage(hap[:, 0], idx_loc)
+                + popcount_dosage(hap[:, 1], idx_loc)
             ).astype(jnp.float32) * inrange[None, :]
             p = jnp.mean(t, axis=0) / 2.0  # deme-local allele freqs
             bv = jax.lax.psum(
@@ -157,24 +161,23 @@ def make_deme_step(cfg, mesh: Mesh):
 
         xo_p, st_p = _sample_gamete_plan(k_pat, dense_loc, n_loc)
         xo_m, st_m = _sample_gamete_plan(k_mat, dense_loc, n_loc)
-        childA, childB = meiose(
-            hapA, hapB, fathers, mothers, xo_p, st_p, xo_m, st_m
-        )
+        mu = None
         if cfg.mut_rate > 0:
-            childA = apply_mutations_packed(
-                childA, mutation_positions(k_mu1, n_loc, cfg_loc)
+            mu = jnp.stack(
+                [
+                    mutation_positions(k_mu1, n_loc, cfg_loc),
+                    mutation_positions(k_mu2, n_loc, cfg_loc),
+                ],
+                axis=1,
             )
-            childB = apply_mutations_packed(
-                childB, mutation_positions(k_mu2, n_loc, cfg_loc)
-            )
+        child = reproduce(hap, fathers, mothers, xo_p, st_p, xo_m, st_m, mu)
         return {
-            "hapA": childA,
-            "hapB": childB,
+            "hap": child,
             "cv_idx": state["cv_idx"],
             "eff": state["eff"],
         }
 
-    specs = state_specs()
+    specs = state_specs(packed=True)
     # cv_idx/eff replicated; haplotypes block-sharded
     return jax.jit(
         shard_map(

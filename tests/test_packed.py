@@ -36,16 +36,14 @@ def test_packed_meiosis_equals_byte_engine():
     dstate = dense_init(key, dcfg)
     pstate = pk.init_state(key, pcfg)
     np.testing.assert_array_equal(
-        np.asarray(pk.unpack_bits(pstate["hapA"], pcfg.m)),
+        np.asarray(pk.unpack_bits(pstate["hap"][:, 0], pcfg.m)),
         np.asarray(dstate["hapA"]),
     )
     kf, kp = jax.random.split(jax.random.key(3))
     parent = jax.random.randint(kf, (pcfg.n,), 0, pcfg.n)
     xo, st = _sample_gamete_plan(kp, dcfg, pcfg.n)
     ref = _meiose_xla(dstate["hapA"], dstate["hapB"], parent, xo, st, dcfg)
-    got = pk.meiose_packed_xla(
-        pstate["hapA"], pstate["hapB"], parent, xo, st, pcfg
-    )
+    got = pk.meiose_packed_xla(pstate["hap"], parent, xo, st, pcfg)
     np.testing.assert_array_equal(
         np.asarray(pk.unpack_bits(got, pcfg.m)), np.asarray(ref)
     )
@@ -58,9 +56,10 @@ def test_packed_step_equals_byte_step():
     pstate = pk.init_state(key, pcfg)
     ds = jax.jit(make_dense_step(dcfg))(dstate, jax.random.key(5))
     ps = jax.jit(pk.make_step(pcfg))(pstate, jax.random.key(5))
-    for k in ("hapA", "hapB"):
+    for plane, k in ((0, "hapA"), (1, "hapB")):
         np.testing.assert_array_equal(
-            np.asarray(pk.unpack_bits(ps[k], pcfg.m)), np.asarray(ds[k])
+            np.asarray(pk.unpack_bits(ps["hap"][:, plane], pcfg.m)),
+            np.asarray(ds[k]),
         )
 
 
@@ -74,7 +73,7 @@ def test_packed_phenotype_matches():
         dstate["hapA"], dstate["hapB"], dstate["cv_idx"], dstate["eff"]
     )
     b = pk.phenotype_additive_packed(
-        pstate["hapA"], pstate["hapB"], pstate["cv_idx"], pstate["eff"]
+        pstate["hap"], pstate["cv_idx"], pstate["eff"]
     )
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
 
@@ -91,10 +90,9 @@ def test_packed_sharded_step_matches_single_device():
     mesh = make_mesh(jax.devices()[:8])
     sharded_in = shard_state(pk.init_state(jax.random.key(0), pcfg), mesh)
     out = make_sharded_step(pcfg, mesh)(sharded_in, key)
-    for k in ("hapA", "hapB"):
-        np.testing.assert_array_equal(
-            np.asarray(single[k]), np.asarray(out[k])
-        )
+    np.testing.assert_array_equal(
+        np.asarray(single["hap"]), np.asarray(out["hap"])
+    )
 
 
 def test_deme_step_isolates_shards():
@@ -109,52 +107,86 @@ def test_deme_step_isolates_shards():
     pcfg, _ = _cfgs(n=8 * ind_n, m=4096, n_chr=4, selection=True,
                     mut_rate=0.0)
     state = pk.init_state(jax.random.key(0), pcfg)
-    # mark each deme's founders: deme d gets constant allele d & 1 at the
-    # first byte of every chromatid
-    marker = np.repeat((np.arange(ind_n) & 1) * 0xFF, pcfg.n // ind_n)
-    hapA = np.array(state["hapA"])
-    hapA[:, 0] = marker
-    state["hapA"] = jnp.asarray(hapA)
-    state["hapB"] = jnp.asarray(hapA)
+    # mark each deme's founders: deme d gets constant allele d & 1 in the
+    # first word of every chromatid
+    marker = np.repeat(
+        ((np.arange(ind_n) & 1) * 0xFFFFFFFF).astype(np.uint32),
+        pcfg.n // ind_n,
+    )
+    hap = np.array(state["hap"])
+    hap[:, :, 0] = marker[:, None]
+    state["hap"] = jnp.asarray(hap)
     state = shard_state(state, mesh)
     step = make_deme_step(pcfg, mesh)
     out = state
     for g in range(3):
         out = step(out, jax.random.key(g))
-    got = np.asarray(out["hapA"])[:, 0]
+    got = np.asarray(out["hap"])[:, 0, 0]
     np.testing.assert_array_equal(got, marker)
 
 
-def test_sparse_mutation_matches_byte_masks():
-    """Scatter-XOR mutation application equals the full-plane XOR-mask pass."""
+def test_mutation_positions_apply_as_single_bit_flips():
+    """Each non-pad mutation position flips exactly its own locus."""
     pcfg, _ = _cfgs(mut_rate=1.5, mut_cap=4)
     state = pk.init_state(jax.random.key(2), pcfg)
     key = jax.random.key(11)
     pos = pk.mutation_positions(key, pcfg.n, pcfg)
-    ref = state["hapA"] ^ pk.mutation_bytes(key, pcfg.n, pcfg)
-    got = pk.apply_mutations_packed(state["hapA"], pos)
-    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+    plane = state["hap"][:, 0]
+    got = pk.apply_mutations_packed(plane, pos)
+    before = np.asarray(pk.unpack_bits(plane, pcfg.m))
+    after = np.asarray(pk.unpack_bits(got, pcfg.m))
+    want = before.copy()
+    for i, row in enumerate(np.asarray(pos)):
+        for p in row:
+            if p < pcfg.m:
+                want[i, p] ^= 1
+    np.testing.assert_array_equal(after, want)
 
 
 def test_packed_pallas_interpret_matches_xla():
     from geneevolve_tpu.ops import meiosis_packed_pallas as mpp
     from jax.experimental.pallas import tpu as pltpu
 
-    pcfg = pk.PackedConfig(n=6, m=8 * 2048, n_chr=2, xo_cap=4)
+    pcfg = pk.PackedConfig(
+        n=6, m=2 * 32 * 128 * 2, n_chr=2, xo_cap=4, mut_rate=1.0, mut_cap=3
+    )
     dcfg = pcfg.as_dense()
     state = pk.init_state(jax.random.key(0), pcfg)
-    hapA, hapB = state["hapA"], state["hapB"]
-    kf, km, kp, kq = jax.random.split(jax.random.key(5), 4)
+    hap = state["hap"]
+    kf, km, kp, kq, ku = jax.random.split(jax.random.key(5), 5)
     fathers = jax.random.randint(kf, (pcfg.n,), 0, pcfg.n)
     mothers = jax.random.randint(km, (pcfg.n,), 0, pcfg.n)
     xo_p, st_p = _sample_gamete_plan(kp, dcfg, pcfg.n)
     xo_m, st_m = _sample_gamete_plan(kq, dcfg, pcfg.n)
-    refA = pk.meiose_packed_xla(hapA, hapB, fathers, xo_p, st_p, pcfg)
-    refB = pk.meiose_packed_xla(hapA, hapB, mothers, xo_m, st_m, pcfg)
+    mu = jnp.stack(
+        [
+            pk.mutation_positions(ku, pcfg.n, pcfg),
+            pk.mutation_positions(jax.random.fold_in(ku, 1), pcfg.n, pcfg),
+        ],
+        axis=1,
+    )
+    refA = pk.apply_mutations_packed(
+        pk.meiose_packed_xla(hap, fathers, xo_p, st_p, pcfg), mu[:, 0]
+    )
+    refB = pk.apply_mutations_packed(
+        pk.meiose_packed_xla(hap, mothers, xo_m, st_m, pcfg), mu[:, 1]
+    )
     with pltpu.force_tpu_interpret_mode():
-        outA, outB = mpp.meiose_planes_packed_pallas(
-            hapA, hapB, fathers, mothers, xo_p, st_p, xo_m, st_m,
+        out = mpp.meiose_packed_pallas(
+            hap, fathers, mothers, xo_p, st_p, xo_m, st_m, mu,
             n_chr=pcfg.n_chr, chr_len=pcfg.chr_len,
         )
-    np.testing.assert_array_equal(np.asarray(refA), np.asarray(outA))
-    np.testing.assert_array_equal(np.asarray(refB), np.asarray(outB))
+    np.testing.assert_array_equal(np.asarray(refA), np.asarray(out[:, 0]))
+    np.testing.assert_array_equal(np.asarray(refB), np.asarray(out[:, 1]))
+
+
+def test_pick_block_rows():
+    from geneevolve_tpu.ops.meiosis_packed_pallas import pick_block_rows
+
+    # whole chromosomes per block when they fit
+    assert pick_block_rows(8, 8, max_rows=64) == 64
+    assert pick_block_rows(8, 8, max_rows=32) == 32
+    assert pick_block_rows(6, 8, max_rows=32) == 24
+    # sub-chromosome power-of-two splits when one chromosome exceeds the cap
+    assert pick_block_rows(2, 1024, max_rows=512) == 512
+    assert pick_block_rows(1, 96, max_rows=64) == 48

@@ -47,7 +47,7 @@ def test_panel_scenario_end_to_end(examples_dir, tmp_path):
     assert sc.cfg.n == 2000 and len(sc.chrs) == 3
     assert float(sc.xo_cdf[-1]) > 1.0  # real map mass
     af0 = np.asarray(
-        pk.unpack_bits(sc.state["hapA"], sc.cfg.m), dtype=np.float64
+        pk.unpack_bits(sc.state["hap"][:, 0], sc.cfg.m), dtype=np.float64
     ).mean(axis=0)
     scenario.evolve(sc, gens=2, seed=4)
     prefix = str(tmp_path / "dense.t")
