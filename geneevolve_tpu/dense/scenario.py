@@ -234,7 +234,7 @@ def main(argv=None) -> int:
     )
     print(
         f"panel: n={sc.cfg.n} chrs={sc.chrs} m={sc.cfg.m} "
-        f"(packed {sc.cfg.mb} bytes/chromatid), "
+        f"(packed {sc.cfg.mw * 4} bytes/chromatid), "
         f"total map = {float(sc.xo_cdf[-1]):.2f} Morgans"
     )
     evolve(sc, args.gens, seed=args.seed + 1)

@@ -35,6 +35,23 @@ def test_map_aware_crossovers_follow_cdf():
     assert abs(c2 - 2.0) < 0.12, c2
 
 
+def test_scenario_module_cli(examples_dir, tmp_path, capsys):
+    """The README-advertised `python -m geneevolve_tpu.dense.scenario` CLI."""
+    rc = scenario.main(
+        [
+            "--file_hap_name", str(examples_dir / "par.pop1.hap_sample_address.txt"),
+            "--file_recom_map", str(examples_dir / "Recom.Map.b37.50KbDiff"),
+            "--gens", "1",
+            "--out_hap",
+            "--prefix", str(tmp_path / "cli.t"),
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "panel: n=2000" in out
+    assert (tmp_path / "cli.t.gen1.chr1.hap").exists()
+
+
 def test_panel_scenario_end_to_end(examples_dir, tmp_path):
     sc = scenario.load_panel(
         str(examples_dir / "par.pop1.hap_sample_address.txt"),
