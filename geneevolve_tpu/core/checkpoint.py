@@ -24,7 +24,7 @@ import numpy as np
 if TYPE_CHECKING:
     from geneevolve_tpu.core.engine import Simulation
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2  # v2: genome state stacked over chromosomes, scalar caps
 
 
 def save(sim: "Simulation", gen: int, path: str) -> None:
@@ -37,17 +37,16 @@ def save(sim: "Simulation", gen: int, path: str) -> None:
         "seed": sim.cfg.seed,
         "n_pop": sim.n_pop,
         "n_pheno": sim.n_pheno,
-        "s_cap": np.asarray(sim.s_cap),
-        "m_cap": np.asarray(sim.m_cap),
+        "s_cap": sim.s_cap,
+        "m_cap": sim.m_cap,
     }
     for p in sim.pops:
         pre = f"pop{p.index}"
         st = p.state
         data[f"{pre}.n"] = st.n
-        for ic in range(len(sim.chrs)):
-            data[f"{pre}.seg_st.{ic}"] = np.asarray(st.seg_st[ic])
-            data[f"{pre}.seg_hap.{ic}"] = np.asarray(st.seg_hap[ic])
-            data[f"{pre}.mut.{ic}"] = np.asarray(st.mut[ic])
+        data[f"{pre}.seg_st"] = np.asarray(st.seg_st)
+        data[f"{pre}.seg_hap"] = np.asarray(st.seg_hap)
+        data[f"{pre}.mut"] = np.asarray(st.mut)
         data[f"{pre}.sex"] = st.sex
         data[f"{pre}.ids"] = st.ids
         for k, v in st.ped.items():
@@ -92,14 +91,13 @@ def load(sim: "Simulation", path: str) -> int:
             "checkpoint seed differs from --seed; resumed trajectories would "
             "not continue the same run"
         )
-    sim.s_cap = [int(x) for x in z["s_cap"]]
-    sim.m_cap = [int(x) for x in z["m_cap"]]
+    sim.s_cap = int(z["s_cap"])
+    sim.m_cap = int(z["m_cap"])
     for p in sim.pops:
         pre = f"pop{p.index}"
-        nchr = len(sim.chrs)
-        seg_st = [jnp.asarray(z[f"{pre}.seg_st.{ic}"]) for ic in range(nchr)]
-        seg_hap = [jnp.asarray(z[f"{pre}.seg_hap.{ic}"]) for ic in range(nchr)]
-        mut = [jnp.asarray(z[f"{pre}.mut.{ic}"]) for ic in range(nchr)]
+        seg_st = sim._put(jnp.asarray(z[f"{pre}.seg_st"]))
+        seg_hap = sim._put(jnp.asarray(z[f"{pre}.seg_hap"]))
+        mut = sim._put(jnp.asarray(z[f"{pre}.mut"]))
         ped_keys = ("father", "mother", "ff", "fm", "mf", "mm")
         comp_keys = [
             k.split(".", 2)[2]

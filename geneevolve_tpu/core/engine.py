@@ -37,84 +37,119 @@ from geneevolve_tpu.utils import telemetry
 
 @partial(
     jax.jit,
-    static_argnames=(
-        "xo_lambda",
-        "bin_width",
-        "mut_lambda",
-        "s_cap",
-        "m_cap",
-        "xo_cap",
-        "mn_cap",
-    ),
+    static_argnames=("s_cap", "m_cap", "xo_cap", "mn_cap"),
 )
-def _reproduce_chr(
-    par_st,
+def _reproduce_all(
+    par_st,  # (nchr, n, 2, S)
     par_hap,
-    par_mut,
-    father,
+    par_mut,  # (nchr, n, 2, M)
+    father,  # (nc,) shared across chromosomes
     mother,
     key,
-    bp,
+    bp,  # (nchr, K) stacked maps (zero-mass padding bins)
     xo_cum,
-    xo_lambda,
-    bin_width,
-    mut_bp,
+    xo_lambda,  # (nchr,)
+    bin_width,  # (nchr,)
+    mut_bp,  # (nchr, Km)
     mut_cum,
-    mut_lambda,
+    mut_lambda,  # (nchr,)
     s_cap: int,
     m_cap: int,
     xo_cap: int,
     mn_cap: int,
 ):
-    """One chromosome of `reproduce` (`Simulation.cpp:2394-2493`) for all
-    children at once."""
+    """All chromosomes of `reproduce` (`Simulation.cpp:2394-2493`) for all
+    children in one compiled call: vmap over the chromosome axis, with the
+    per-chromosome map scalars traced (not static), so one compilation
+    serves every chromosome and every generation of a fixed population
+    size."""
     nc = father.shape[0]
-    k_xo_f, k_xo_m, k_sh, k_mp, k_mc = jax.random.split(key, 5)
-    xo_f = segments.sample_point_process(
-        k_xo_f, nc, xo_cap, xo_cum, xo_lambda, bp, bin_width, False
-    )
-    xo_m = segments.sample_point_process(
-        k_xo_m, nc, xo_cap, xo_cum, xo_lambda, bp, bin_width, False
-    )
-    sh = jax.random.randint(k_sh, (nc, 2), 0, 2)
-    st0, hap0, nv0 = segments.meiose(
-        par_st[father], par_hap[father], xo_f, sh[:, 0], s_cap
-    )
-    st1, hap1, nv1 = segments.meiose(
-        par_st[mother], par_hap[mother], xo_m, sh[:, 1], s_cap
-    )
-    child_st = jnp.stack([st0, st1], axis=1)
-    child_hap = jnp.stack([hap0, hap1], axis=1)
 
-    new = segments.sample_point_process(
-        k_mp, nc, mn_cap, mut_cum, mut_lambda, mut_bp, 0, True
+    def per_chr(st, hp, mu, k, bp_c, xoc, xol, bw, mbp, mcum, mlam):
+        k_xo_f, k_xo_m, k_sh, k_mp, k_mc = jax.random.split(k, 5)
+        xo_f = segments.sample_point_process(
+            k_xo_f, nc, xo_cap, xoc, xol, bp_c, bw, False
+        )
+        xo_m = segments.sample_point_process(
+            k_xo_m, nc, xo_cap, xoc, xol, bp_c, bw, False
+        )
+        sh = jax.random.randint(k_sh, (nc, 2), 0, 2)
+        st0, hap0, nv0 = segments.meiose(
+            st[father], hp[father], xo_f, sh[:, 0], s_cap
+        )
+        st1, hap1, nv1 = segments.meiose(
+            st[mother], hp[mother], xo_m, sh[:, 1], s_cap
+        )
+        child_st = jnp.stack([st0, st1], axis=1)
+        child_hap = jnp.stack([hap0, hap1], axis=1)
+
+        new = segments.sample_point_process(
+            k_mp, nc, mn_cap, mcum, mlam, mbp, 0, True
+        )
+        which = jax.random.randint(k_mc, (nc, mn_cap), 0, 2)
+        new_f = jnp.sort(jnp.where(which == 0, new, segments._big()), axis=1)
+        new_m = jnp.sort(jnp.where(which == 1, new, segments._big()), axis=1)
+        mut0, nm0 = segments.inherit_mutations(
+            mu[father], xo_f, sh[:, 0], new_f, m_cap
+        )
+        mut1, nm1 = segments.inherit_mutations(
+            mu[mother], xo_m, sh[:, 1], new_m, m_cap
+        )
+        child_mut = jnp.stack([mut0, mut1], axis=1)
+        seg_used = jnp.maximum(jnp.max(nv0), jnp.max(nv1))
+        mut_used = jnp.maximum(jnp.max(nm0), jnp.max(nm1))
+        return child_st, child_hap, child_mut, seg_used, mut_used
+
+    keys = jax.random.split(key, par_st.shape[0])
+    c_st, c_hap, c_mut, su, mu_used = jax.vmap(per_chr)(
+        par_st, par_hap, par_mut, keys,
+        bp, xo_cum, xo_lambda, bin_width, mut_bp, mut_cum, mut_lambda,
     )
-    which = jax.random.randint(k_mc, (nc, mn_cap), 0, 2)
-    new_f = jnp.sort(jnp.where(which == 0, new, segments._big()), axis=1)
-    new_m = jnp.sort(jnp.where(which == 1, new, segments._big()), axis=1)
-    mut0, nm0 = segments.inherit_mutations(
-        par_mut[father], xo_f, sh[:, 0], new_f, m_cap
-    )
-    mut1, nm1 = segments.inherit_mutations(
-        par_mut[mother], xo_m, sh[:, 1], new_m, m_cap
-    )
-    child_mut = jnp.stack([mut0, mut1], axis=1)
-    seg_used = jnp.maximum(jnp.max(nv0), jnp.max(nv1))
-    mut_used = jnp.maximum(jnp.max(nm0), jnp.max(nm1))
-    return child_st, child_hap, child_mut, seg_used, mut_used
+    return c_st, c_hap, c_mut, jnp.max(su), jnp.max(mu_used)
 
 
 @jax.jit
-def _cv_genotypes(seg_st, seg_hap, mut, cv_bp, founder_cv, pop_starts):
-    """CV alleles + effect-source population per chromatid: the vectorized
-    `ras_find_cv` (`Simulation.cpp:2752-2815`)."""
-    hidx = segments.hap_at(seg_st, seg_hap, cv_bp)  # (n, 2, ncv)
-    ncv = cv_bp.shape[0]
-    g = founder_cv[hidx, jnp.arange(ncv)[None, None, :]]
-    flip = segments.mutation_flip_mask(mut, jnp.broadcast_to(cv_bp, hidx.shape))
-    c = jnp.where(flip, 1 - g, g)
-    root = jnp.searchsorted(pop_starts, hidx, side="right") - 1
-    return c.astype(jnp.uint8), root.astype(jnp.int32)
+def _ad_all(
+    seg_st,  # (nchr, n, 2, S)
+    seg_hap,
+    mut,  # (nchr, n, 2, M)
+    cv_bp,  # (nchr, ncv) — zero-effect padding columns
+    founder_cv,  # (nchr, H, ncv)
+    a_tab,  # (nchr, npop, ncv)
+    d_tab,
+    pop_starts,  # (npop,)
+    dominance_on,  # () bool
+):
+    """One phenotype's A/D for every individual, all chromosomes in one
+    compiled call: the vectorized `ras_find_cv` + `ras_compute_AD`
+    (`Simulation.cpp:2752-2815, 2624-2749`). Also returns the per-chromatid
+    CV alleles (nchr, n, 2, ncv) for the --debug .cvval dump."""
+
+    def per_chr(st, hp, mu, bp_c, fcv, at, dt):
+        hidx = segments.hap_at(st, hp, bp_c)  # (n, 2, ncv)
+        ncv = bp_c.shape[0]
+        g = fcv[hidx, jnp.arange(ncv)[None, None, :]]
+        flip = segments.mutation_flip_mask(
+            mu, jnp.broadcast_to(bp_c, hidx.shape)
+        )
+        c = jnp.where(flip, 1 - g, g).astype(jnp.uint8)
+        root = jnp.searchsorted(pop_starts, hidx, side="right") - 1
+        icv = jnp.arange(ncv)[None, :]
+        A, D = phenotype.additive_dominance_chr(
+            c[:, 0],
+            c[:, 1],
+            at[root[:, 0], icv],
+            at[root[:, 1], icv],
+            dt[root[:, 0], icv],
+            dt[root[:, 1], icv],
+            dominance_on,
+        )
+        return A, D, c
+
+    A, D, c = jax.vmap(per_chr)(
+        seg_st, seg_hap, mut, cv_bp, founder_cv, a_tab, d_tab
+    )
+    return jnp.sum(A, axis=0), jnp.sum(D, axis=0), c
 
 
 # --------------------------------------------------------------------------
@@ -141,12 +176,14 @@ class PhenoScheme:
 
 @dataclass
 class PopState:
-    """One population's current generation."""
+    """One population's current generation. Genome state is stacked over
+    chromosomes (axis 0) so one compiled kernel serves all of them; when a
+    mesh is attached the individuals axis (axis 1) is sharded."""
 
     n: int
-    seg_st: List[jax.Array]  # per chr (n, 2, S)
-    seg_hap: List[jax.Array]
-    mut: List[jax.Array]  # per chr (n, 2, M)
+    seg_st: jax.Array  # (nchr, n, 2, S)
+    seg_hap: jax.Array
+    mut: jax.Array  # (nchr, n, 2, M)
     sex: np.ndarray  # (n,) 1/2
     ids: np.ndarray  # (n,) 0-based birth id
     ped: Dict[str, np.ndarray]  # father, mother, ff, fm, mf, mm
@@ -171,6 +208,7 @@ class PopRuntime:
     rm: bool
     hap_addresses: List = field(default_factory=list)  # (chr, hap, legend, indv)
     vcf_addresses: List = field(default_factory=list)  # (chr, vcf)
+    smaps: Optional[segments.StackedMaps] = None
     state: Optional[PopState] = None
     prev_phen: Optional[np.ndarray] = None  # (npheno, n_prev) by position
     prev_F: Optional[np.ndarray] = None
@@ -188,7 +226,12 @@ class SimulationError(RuntimeError):
 class Simulation:
     """End-to-end scenario runner."""
 
-    def __init__(self, cfg: ScenarioConfig, verbose: bool = True):
+    def __init__(self, cfg: ScenarioConfig, verbose: bool = True, mesh=None):
+        """`mesh`: optional jax.sharding.Mesh with an 'ind' axis; when given,
+        every genome array is sharded over individuals and the jitted genome
+        kernels run SPMD across the mesh (results are bit-identical to the
+        unsharded run: the only cross-individual reduction, the CV allele
+        count, is integer)."""
         self.cfg = cfg
         self.verbose = verbose
         self.key = root_key(cfg.seed)
@@ -197,7 +240,20 @@ class Simulation:
         self.vt_type = cfg.vt_type
         self.pops: List[PopRuntime] = []
         self.timer = telemetry.StageTimer()
+        self.mesh = mesh
+        if mesh is not None and "ind" not in mesh.axis_names:
+            raise SimulationError("mesh must have an 'ind' axis")
         self._load()
+
+    def _put(self, x: jax.Array) -> jax.Array:
+        """Pin a stacked genome array (nchr, n, ...) to the mesh: sharded
+        over individuals (axis 1), replicated over chromosomes."""
+        if self.mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        spec = PartitionSpec(*([None, "ind"] + [None] * (x.ndim - 2)))
+        return jax.device_put(x, NamedSharding(self.mesh, spec))
 
     def _log(self, msg: str) -> None:
         if self.verbose:
@@ -318,13 +374,36 @@ class Simulation:
         self.pop_starts = jnp.asarray(
             np.array([p.hap_offset for p in self.pops]), dtype=jnp.int32
         )
-        # global CV matrices + per-pop effect tables per (pheno, chr)
-        self.global_cv: List[List[jax.Array]] = []  # [pheno][chr] (H, ncv)
-        self.eff_a: List[List[jax.Array]] = []  # [pheno][chr] (npop, ncv)
-        self.eff_d: List[List[jax.Array]] = []
-        self.cv_bp_dev: List[List[jax.Array]] = []
+        # stacked per-chromosome maps (one compiled kernel for all chrs)
+        for p in self.pops:
+            p.smaps = segments.StackedMaps.build(p.maps)
+
+        # global CV matrices + per-pop effect tables, stacked over
+        # chromosomes and padded to a common CV count with zero-effect
+        # columns (they gather real alleles but contribute nothing to A/D),
+        # so every (phenotype, generation) A/D call shares one compilation
+        self.global_cv: List[jax.Array] = []  # [pheno] (nchr, H, ncv)
+        self.eff_a: List[jax.Array] = []  # [pheno] (nchr, npop, ncv)
+        self.eff_d: List[jax.Array] = []
+        self.cv_bp_dev: List[jax.Array] = []  # [pheno] (nchr, ncv)
+        self.ncv_real: List[List[int]] = []  # [pheno][chr] pre-pad counts
+        nchr = len(self.chrs)
+        H = sum(2 * p.n_founders for p in self.pops)
+        ncv_max = max(
+            (
+                len(p.phenos[j].cv_bp[ic])
+                for p in self.pops
+                for j in range(self.n_pheno)
+                for ic in range(nchr)
+            ),
+            default=0,
+        )
         for j in range(self.n_pheno):
-            gc, ga, gd, gb = [], [], [], []
+            gc = np.zeros((nchr, H, max(ncv_max, 1)), dtype=np.uint8)
+            ga = np.zeros((nchr, self.n_pop, max(ncv_max, 1)), dtype=np.float32)
+            gd = np.zeros_like(ga)
+            gb = np.zeros((nchr, max(ncv_max, 1)), dtype=np.int64)
+            real = []
             for ic, c in enumerate(self.chrs):
                 bp0 = self.pops[0].phenos[j].cv_bp[ic]
                 for p in self.pops[1:]:
@@ -333,31 +412,26 @@ class Simulation:
                             "CV positions must agree across populations "
                             f"(phenotype {j + 1}, chr {c})"
                         )
-                gc.append(
-                    jnp.asarray(
-                        np.concatenate(
-                            [p.phenos[j].founder_cv[ic] for p in self.pops]
-                        ),
-                        dtype=jnp.uint8,
+                k = len(bp0)
+                real.append(k)
+                # padding columns probe the chromosome start (harmless)
+                gb[ic, :] = self.pops[0].maps[ic].chr_start
+                if k:
+                    gb[ic, :k] = bp0
+                    gc[ic, :, :k] = np.concatenate(
+                        [p.phenos[j].founder_cv[ic] for p in self.pops]
                     )
-                )
-                ga.append(
-                    jnp.asarray(
-                        np.stack([p.phenos[j].a[ic] for p in self.pops]),
-                        dtype=jnp.float32,
+                    ga[ic, :, :k] = np.stack(
+                        [p.phenos[j].a[ic] for p in self.pops]
                     )
-                )
-                gd.append(
-                    jnp.asarray(
-                        np.stack([p.phenos[j].d[ic] for p in self.pops]),
-                        dtype=jnp.float32,
+                    gd[ic, :, :k] = np.stack(
+                        [p.phenos[j].d[ic] for p in self.pops]
                     )
-                )
-                gb.append(jnp.asarray(bp0, dtype=segments.pos_dtype()))
-            self.global_cv.append(gc)
-            self.eff_a.append(ga)
-            self.eff_d.append(gd)
-            self.cv_bp_dev.append(gb)
+            self.global_cv.append(jnp.asarray(gc))
+            self.eff_a.append(jnp.asarray(ga))
+            self.eff_d.append(jnp.asarray(gd))
+            self.cv_bp_dev.append(jnp.asarray(gb, dtype=segments.pos_dtype()))
+            self.ncv_real.append(real)
 
         # migration / output-generation list
         self.migration = (
@@ -371,23 +445,20 @@ class Simulation:
             else []
         )
 
-        # capacities
+        # capacities: uniform across chromosomes (sized for the largest map)
+        # so every chromosome shares one compiled kernel; sized from G*lambda
+        # so the regrow path never fires in normal runs
         G = self.tot_gen
-        self.s_cap: List[int] = []
-        self.m_cap: List[int] = []
-        self.xo_cap: List[int] = []
-        self.mn_cap: List[int] = []
-        for ic, _ in enumerate(self.chrs):
-            L = max(m.xo_lambda for m in (p.maps[ic] for p in self.pops))
-            lam_m = max(m.mut_lambda for m in (p.maps[ic] for p in self.pops))
-            gl = max(G * L, 1.0)
-            self.s_cap.append(int(16 + np.ceil(gl + 8 * np.sqrt(gl))))
-            self.xo_cap.append(int(8 + np.ceil(L + 6 * np.sqrt(max(L, 1.0)))))
-            gm = G * lam_m
-            self.m_cap.append(int(8 + np.ceil(gm + 6 * np.sqrt(max(gm, 1.0)))))
-            self.mn_cap.append(
-                int(4 + np.ceil(lam_m + 6 * np.sqrt(max(lam_m, 0.25))))
-            )
+        L = max(
+            m.xo_lambda for p in self.pops for m in p.maps
+        )
+        lam_m = max(m.mut_lambda for p in self.pops for m in p.maps)
+        gl = max(G * L, 1.0)
+        self.s_cap = int(16 + np.ceil(gl + 8 * np.sqrt(gl)))
+        self.xo_cap = int(8 + np.ceil(L + 6 * np.sqrt(max(L, 1.0))))
+        gm = G * lam_m
+        self.m_cap = int(8 + np.ceil(gm + 6 * np.sqrt(max(gm, 1.0))))
+        self.mn_cap = int(4 + np.ceil(lam_m + 6 * np.sqrt(max(lam_m, 0.25))))
 
         # trajectories
         for p in self.pops:
@@ -403,14 +474,16 @@ class Simulation:
     def init_generation0(self) -> None:
         for p in self.pops:
             n = p.n_founders
-            seg_st, seg_hap, mut = [], [], []
-            for ic, _ in enumerate(self.chrs):
-                st, hp = segments.init_gen0_ledger(
-                    n, p.maps[ic].chr_start, p.hap_offset, self.s_cap[ic]
-                )
-                seg_st.append(st)
-                seg_hap.append(hp)
-                mut.append(segments.empty_mutations(n, self.m_cap[ic]))
+            chr_starts = np.array([m.chr_start for m in p.maps])
+            seg_st, seg_hap = segments.init_gen0_ledger_stacked(
+                n, chr_starts, p.hap_offset, self.s_cap
+            )
+            mut = segments.empty_mutations_stacked(
+                len(self.chrs), n, self.m_cap
+            )
+            seg_st = self._put(seg_st)
+            seg_hap = self._put(seg_hap)
+            mut = self._put(mut)
             rng_sex = np.random.default_rng(
                 np_seed(self.cfg.seed, 0, Stage.INIT_SEX, p.index)
             )
@@ -461,48 +534,41 @@ class Simulation:
         D = np.zeros((self.n_pheno, st.n))
         dump_cv = self.cfg.debug and gen == self.tot_gen
         for j in range(self.n_pheno):
+            if sum(self.ncv_real[j]) == 0:
+                continue
             dominance_on = jnp.asarray(p.phenos[j].vd != 0)
-            for ic in range(len(self.chrs)):
-                if self.global_cv[j][ic].shape[1] == 0:
-                    continue
-                c, root = _cv_genotypes(
-                    st.seg_st[ic],
-                    st.seg_hap[ic],
-                    st.mut[ic],
-                    self.cv_bp_dev[j][ic],
-                    self.global_cv[j][ic],
-                    self.pop_starts,
-                )
-                if dump_cv:
-                    # per-chromatid CV dump at the final generation
-                    # (`Simulation.cpp:2665-2683`; one file per chr, the
-                    # reference overwrites it per phenotype — so do we)
+            A_j, D_j, c = _ad_all(
+                st.seg_st,
+                st.seg_hap,
+                st.mut,
+                self.cv_bp_dev[j],
+                self.global_cv[j],
+                self.eff_a[j],
+                self.eff_d[j],
+                self.pop_starts,
+                dominance_on,
+            )
+            A[j] = np.asarray(A_j, dtype=np.float64)
+            D[j] = np.asarray(D_j, dtype=np.float64)
+            if dump_cv:
+                # per-chromatid CV dump at the final generation
+                # (`Simulation.cpp:2665-2683`; one file per chr, the
+                # reference overwrites it per phenotype — so do we)
+                for ic in range(len(self.chrs)):
+                    k = self.ncv_real[j][ic]
+                    if k == 0:
+                        continue
                     path = (
                         f"{self.cfg.prefix}.pop{p.index + 1}.gen{gen}"
                         f".chr{self.chrs[ic]}.cvval"
                     )
-                    cv = np.asarray(c)  # (n, 2, ncv)
+                    cv = np.asarray(c[ic, :, :, :k])  # (n, 2, ncv)
                     inter = np.empty(
                         (cv.shape[0], 2 * cv.shape[2]), dtype=cv.dtype
                     )
                     inter[:, 0::2] = cv[:, 0]
                     inter[:, 1::2] = cv[:, 1]
                     np.savetxt(path, inter, fmt="%d", delimiter=" ")
-                ncv = self.cv_bp_dev[j][ic].shape[0]
-                a_tab = self.eff_a[j][ic]
-                d_tab = self.eff_d[j][ic]
-                icv = jnp.arange(ncv)[None, :]
-                A_chr, D_chr = phenotype.additive_dominance_chr(
-                    c[:, 0],
-                    c[:, 1],
-                    a_tab[root[:, 0], icv],
-                    a_tab[root[:, 1], icv],
-                    d_tab[root[:, 0], icv],
-                    d_tab[root[:, 1], icv],
-                    dominance_on,
-                )
-                A[j] += np.asarray(A_chr, dtype=np.float64)
-                D[j] += np.asarray(D_chr, dtype=np.float64)
         return A, D
 
     # ------------------------------------------------------------ phenotypes
@@ -673,50 +739,45 @@ class Simulation:
         father = jnp.asarray(plan.child_father, dtype=jnp.int32)
         mother = jnp.asarray(plan.child_mother, dtype=jnp.int32)
         n_child = int(father.shape[0])
-        seg_st, seg_hap, mut = [], [], []
-        for ic in range(len(self.chrs)):
-            m = p.maps[ic]
-            key = stage_key(self.key, gen, Stage.CROSSOVER, p.index * 101 + ic)
-            while True:
-                c_st, c_hap, c_mut, seg_used, mut_used = _reproduce_chr(
-                    st.seg_st[ic],
-                    st.seg_hap[ic],
-                    st.mut[ic],
-                    father,
-                    mother,
-                    key,
-                    m.bp,
-                    m.xo_cum,
-                    m.xo_lambda,
-                    m.bin_width,
-                    m.mut_bp,
-                    m.mut_cum,
-                    m.mut_lambda,
-                    self.s_cap[ic],
-                    self.m_cap[ic],
-                    self.xo_cap[ic],
-                    self.mn_cap[ic],
-                )
-                grew = False
-                if int(seg_used) > self.s_cap[ic]:
-                    self.s_cap[ic] = int(seg_used * 3 // 2 + 8)
-                    st.seg_st[ic], st.seg_hap[ic] = _pad_ledger(
-                        st.seg_st[ic], st.seg_hap[ic], self.s_cap[ic]
-                    )
-                    grew = True
-                if int(mut_used) > self.m_cap[ic]:
-                    self.m_cap[ic] = int(mut_used * 3 // 2 + 8)
-                    st.mut[ic] = _pad_positions(st.mut[ic], self.m_cap[ic])
-                    grew = True
-                if not grew:
-                    break
-                self._log(
-                    f"      [capacity grow] chr {self.chrs[ic]}: "
-                    f"S={self.s_cap[ic]} M={self.m_cap[ic]}"
-                )
-            seg_st.append(c_st)
-            seg_hap.append(c_hap)
-            mut.append(c_mut)
+        sm = p.smaps
+        key = stage_key(self.key, gen, Stage.CROSSOVER, p.index)
+        while True:
+            seg_st, seg_hap, mut, seg_used, mut_used = _reproduce_all(
+                st.seg_st,
+                st.seg_hap,
+                st.mut,
+                father,
+                mother,
+                key,
+                sm.bp,
+                sm.xo_cum,
+                sm.xo_lambda,
+                sm.bin_width,
+                sm.mut_bp,
+                sm.mut_cum,
+                sm.mut_lambda,
+                self.s_cap,
+                self.m_cap,
+                self.xo_cap,
+                self.mn_cap,
+            )
+            # one host sync per generation: the capacity check (sized so
+            # this regrows only in pathological runs)
+            grew = False
+            if int(seg_used) > self.s_cap:
+                self.s_cap = int(seg_used * 3 // 2 + 8)
+                a, b = _pad_ledger(st.seg_st, st.seg_hap, self.s_cap)
+                st.seg_st, st.seg_hap = self._put(a), self._put(b)
+                grew = True
+            if int(mut_used) > self.m_cap:
+                self.m_cap = int(mut_used * 3 // 2 + 8)
+                st.mut = self._put(_pad_positions(st.mut, self.m_cap))
+                grew = True
+            if not grew:
+                break
+            self._log(
+                f"      [capacity grow] S={self.s_cap} M={self.m_cap}"
+            )
 
         rng_sex = np.random.default_rng(
             np_seed(self.cfg.seed, gen, Stage.SEX, p.index)
@@ -746,9 +807,9 @@ class Simulation:
         comp = {"C": C}
         return PopState(
             n=n_child,
-            seg_st=seg_st,
-            seg_hap=seg_hap,
-            mut=mut,
+            seg_st=self._put(seg_st),
+            seg_hap=self._put(seg_hap),
+            mut=self._put(mut),
             sex=rng_sex.integers(1, 3, size=n_child).astype(np.int8),
             ids=ids,
             ped=ped,
@@ -801,27 +862,21 @@ class Simulation:
 
     def _gather_state(self, parts) -> PopState:
         """Concatenate selected rows of several populations' states."""
-        nchr = len(self.chrs)
-        seg_st = []
-        seg_hap = []
-        mut = []
-        for ic in range(nchr):
-            s_cap = self.s_cap[ic]
-            m_cap = self.m_cap[ic]
-            st_parts, hap_parts, mut_parts = [], [], []
-            for src, idx in parts:
-                idx_j = jnp.asarray(idx, dtype=jnp.int32)
-                a, b = _pad_ledger(
-                    src.state.seg_st[ic][idx_j], src.state.seg_hap[ic][idx_j], s_cap
-                )
-                st_parts.append(a)
-                hap_parts.append(b)
-                mut_parts.append(
-                    _pad_positions(src.state.mut[ic][idx_j], m_cap)
-                )
-            seg_st.append(jnp.concatenate(st_parts))
-            seg_hap.append(jnp.concatenate(hap_parts))
-            mut.append(jnp.concatenate(mut_parts))
+        st_parts, hap_parts, mut_parts = [], [], []
+        for src, idx in parts:
+            idx_j = jnp.asarray(idx, dtype=jnp.int32)
+            a, b = _pad_ledger(
+                src.state.seg_st[:, idx_j], src.state.seg_hap[:, idx_j],
+                self.s_cap,
+            )
+            st_parts.append(a)
+            hap_parts.append(b)
+            mut_parts.append(
+                _pad_positions(src.state.mut[:, idx_j], self.m_cap)
+            )
+        seg_st = self._put(jnp.concatenate(st_parts, axis=1))
+        seg_hap = self._put(jnp.concatenate(hap_parts, axis=1))
+        mut = self._put(jnp.concatenate(mut_parts, axis=1))
 
         def cat(get):
             return np.concatenate([get(src.state)[..., idx] for src, idx in parts], axis=-1)

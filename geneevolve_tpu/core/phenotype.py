@@ -45,7 +45,10 @@ def additive_dominance_chr(
     """One chromosome's (A, D) contribution for every individual."""
     t = (c0 + c1).astype(jnp.float32)  # (n, ncv) in {0,1,2}
     n = c0.shape[0]
-    p = jnp.sum(t, axis=0) / (2.0 * n)  # current-generation allele freq
+    # integer allele-count sum: exact, hence bit-identical under any
+    # individuals-axis sharding (a float32 psum would reassociate)
+    tsum = jnp.sum((c0 + c1).astype(jnp.int32), axis=0)
+    p = tsum.astype(jnp.float32) / (2.0 * n)  # current-generation allele freq
     q = 1.0 - p
     a = 0.5 * (a0 + a1)
     d = jnp.where(dominance_on, 0.5 * (d0 + d1), 0.0)

@@ -93,6 +93,58 @@ class ChromMaps:
         )
 
 
+@dataclass(frozen=True)
+class StackedMaps:
+    """All chromosomes' maps padded to common lengths and stacked on a
+    leading chr axis, so one compiled kernel serves every chromosome.
+    Padding bins repeat the last anchor with zero added mass (cumulative
+    arrays padded with their final value), so they are never sampled."""
+
+    bp: jax.Array  # (nchr, K)
+    xo_cum: jax.Array  # (nchr, K)
+    xo_lambda: jax.Array  # (nchr,) float32
+    bin_width: jax.Array  # (nchr,) float32
+    mut_bp: jax.Array  # (nchr, Km)
+    mut_cum: jax.Array  # (nchr, Km)
+    mut_lambda: jax.Array  # (nchr,) float32
+    chr_start: jax.Array  # (nchr,)
+
+    @staticmethod
+    def build(maps) -> "StackedMaps":
+        def stack(arrs, dtype):
+            K = max(a.shape[0] for a in arrs)
+            out = np.stack(
+                [
+                    np.concatenate(
+                        [np.asarray(a), np.full(K - a.shape[0], np.asarray(a)[-1])]
+                    )
+                    if a.shape[0] < K
+                    else np.asarray(a)
+                    for a in arrs
+                ]
+            )
+            return jnp.asarray(out, dtype=dtype)
+
+        return StackedMaps(
+            bp=stack([m.bp for m in maps], pos_dtype()),
+            xo_cum=stack([m.xo_cum for m in maps], jnp.float32),
+            xo_lambda=jnp.asarray(
+                [m.xo_lambda for m in maps], dtype=jnp.float32
+            ),
+            bin_width=jnp.asarray(
+                [m.bin_width for m in maps], dtype=jnp.float32
+            ),
+            mut_bp=stack([m.mut_bp for m in maps], pos_dtype()),
+            mut_cum=stack([m.mut_cum for m in maps], jnp.float32),
+            mut_lambda=jnp.asarray(
+                [m.mut_lambda for m in maps], dtype=jnp.float32
+            ),
+            chr_start=jnp.asarray(
+                [m.chr_start for m in maps], dtype=pos_dtype()
+            ),
+        )
+
+
 def init_gen0_ledger(
     n: int, chr_start: int, hap_offset: int, capacity: int
 ) -> Tuple[jax.Array, jax.Array]:
@@ -112,14 +164,35 @@ def empty_mutations(n: int, capacity: int) -> jax.Array:
     return jnp.full((n, 2, capacity), _big(), dtype=pos_dtype())
 
 
+def init_gen0_ledger_stacked(
+    n: int, chr_starts: np.ndarray, hap_offset: int, capacity: int
+) -> Tuple[jax.Array, jax.Array]:
+    """(nchr, n, 2, S) stacked founder ledgers (see `init_gen0_ledger`)."""
+    nchr = len(chr_starts)
+    st = np.full((nchr, n, 2, capacity), _big(), dtype=np.int64)
+    st[:, :, :, 0] = np.asarray(chr_starts)[:, None, None]
+    hap = np.zeros((nchr, n, 2, capacity), dtype=np.int32)
+    base = hap_offset + 2 * np.arange(n, dtype=np.int32)
+    hap[:, :, 0, 0] = base[None, :]
+    hap[:, :, 1, 0] = base[None, :] + 1
+    return (
+        jnp.asarray(st, dtype=pos_dtype()),
+        jnp.asarray(hap),
+    )
+
+
+def empty_mutations_stacked(nchr: int, n: int, capacity: int) -> jax.Array:
+    return jnp.full((nchr, n, 2, capacity), _big(), dtype=pos_dtype())
+
+
 def sample_point_process(
     key: jax.Array,
     n: int,
     cap: int,
     cum: jax.Array,
-    lam: float,
+    lam,
     bp: jax.Array,
-    width: int,
+    width,
     inclusive_bins: bool,
 ) -> jax.Array:
     """(n, cap) sorted positions padded with BIG.
@@ -127,8 +200,12 @@ def sample_point_process(
     Each row: Poisson(lam) points; bin j chosen with prob mass[j]; position
     uniform within the bin. `inclusive_bins=False` = crossover convention
     (`bp[j] + U[0,width)`); True = mutation convention (uniform over
-    [bp[j-1], bp[j]] inclusive)."""
-    if lam <= 0.0:
+    [bp[j-1], bp[j]] inclusive).
+
+    `lam` and `width` may be python scalars or traced jax scalars (so one
+    compiled function serves every chromosome); lam == 0 yields all-padding
+    rows (jax.random.poisson returns 0 for rate 0)."""
+    if isinstance(lam, (int, float)) and lam <= 0.0:
         return jnp.full((n, cap), _big(), dtype=pos_dtype())
     k1, k2, k3 = jax.random.split(key, 3)
     counts = jnp.minimum(jax.random.poisson(k1, lam, (n,)), cap)
@@ -141,7 +218,8 @@ def sample_point_process(
         span = (bp[bins] - lo + 1).astype(jnp.float32)
         pos = lo + jnp.floor(v * span).astype(pos_dtype())
     else:
-        pos = bp[bins] + jnp.floor(v * width).astype(pos_dtype())
+        w = jnp.asarray(width, dtype=jnp.float32)
+        pos = bp[bins] + jnp.floor(v * w).astype(pos_dtype())
     pos = jnp.where(jnp.arange(cap)[None, :] < counts[:, None], pos, _big())
     return jnp.sort(pos, axis=1)
 
@@ -245,5 +323,19 @@ def hap_at(seg_st: jax.Array, seg_hap: jax.Array, q: jax.Array) -> jax.Array:
 def mutation_flip_mask(mut: jax.Array, q: jax.Array) -> jax.Array:
     """(..., Q) bool: is there a carried mutation exactly at q?
     Mutations only flip alleles at panel positions they coincide with
-    (`Simulation.cpp:2770-2775`, `:1218-1222`)."""
-    return jnp.any(mut[..., :, None] == q[..., None, :], axis=-2)
+    (`Simulation.cpp:2770-2775`, `:1218-1222`).
+
+    Mutation lists are sorted (BIG-padded), so membership is a searchsorted
+    probe — O(Q log M) per chromatid and O(n·Q) memory, not the O(n·M·Q)
+    equality broadcast that OOMs when painting biobank-scale loci chunks."""
+
+    def one(mrow, qrow):
+        idx = jnp.searchsorted(mrow, qrow)
+        idx = jnp.minimum(idx, mrow.shape[0] - 1)
+        return (mrow[idx] == qrow) & (qrow < _big())
+
+    lead = mut.shape[:-1]
+    f = one
+    for _ in lead:
+        f = jax.vmap(f)
+    return f(mut, jnp.broadcast_to(q, lead + q.shape[-1:]))
