@@ -44,9 +44,10 @@ def save(sim: "Simulation", gen: int, path: str) -> None:
         pre = f"pop{p.index}"
         st = p.state
         data[f"{pre}.n"] = st.n
-        data[f"{pre}.seg_st"] = np.asarray(st.seg_st)
-        data[f"{pre}.seg_hap"] = np.asarray(st.seg_hap)
-        data[f"{pre}.mut"] = np.asarray(st.mut)
+        # slice off any mesh padding rows: checkpoints are mesh-independent
+        data[f"{pre}.seg_st"] = np.asarray(st.seg_st[:, : st.n])
+        data[f"{pre}.seg_hap"] = np.asarray(st.seg_hap[:, : st.n])
+        data[f"{pre}.mut"] = np.asarray(st.mut[:, : st.n])
         data[f"{pre}.sex"] = st.sex
         data[f"{pre}.ids"] = st.ids
         for k, v in st.ped.items():

@@ -119,6 +119,7 @@ def _ad_all(
     d_tab,
     pop_starts,  # (npop,)
     dominance_on,  # () bool
+    n_real,  # () int32 — rows >= n_real are mesh padding
 ):
     """One phenotype's A/D for every individual, all chromosomes in one
     compiled call: the vectorized `ras_find_cv` + `ras_compute_AD`
@@ -143,6 +144,7 @@ def _ad_all(
             dt[root[:, 0], icv],
             dt[root[:, 1], icv],
             dominance_on,
+            n_real,
         )
         return A, D, c
 
@@ -245,13 +247,28 @@ class Simulation:
             raise SimulationError("mesh must have an 'ind' axis")
         self._load()
 
+    def _pad_n(self, n: int) -> int:
+        """Individuals-axis size padded to a mesh multiple (devices require
+        equal shards; padding rows are masked out of every statistic and
+        sliced off every output)."""
+        if self.mesh is None:
+            return n
+        m = self.mesh.shape["ind"]
+        return ((n + m - 1) // m) * m
+
     def _put(self, x: jax.Array) -> jax.Array:
         """Pin a stacked genome array (nchr, n, ...) to the mesh: sharded
-        over individuals (axis 1), replicated over chromosomes."""
+        over individuals (axis 1, edge-padded to a mesh multiple),
+        replicated over chromosomes."""
         if self.mesh is None:
             return x
         from jax.sharding import NamedSharding, PartitionSpec
 
+        n_pad = self._pad_n(x.shape[1])
+        if n_pad != x.shape[1]:
+            pad = [(0, 0)] * x.ndim
+            pad[1] = (0, n_pad - x.shape[1])
+            x = jnp.pad(x, pad, mode="edge")
         spec = PartitionSpec(*([None, "ind"] + [None] * (x.ndim - 2)))
         return jax.device_put(x, NamedSharding(self.mesh, spec))
 
@@ -547,9 +564,10 @@ class Simulation:
                 self.eff_d[j],
                 self.pop_starts,
                 dominance_on,
+                jnp.asarray(st.n, dtype=jnp.int32),
             )
-            A[j] = np.asarray(A_j, dtype=np.float64)
-            D[j] = np.asarray(D_j, dtype=np.float64)
+            A[j] = np.asarray(A_j, dtype=np.float64)[: st.n]
+            D[j] = np.asarray(D_j, dtype=np.float64)[: st.n]
             if dump_cv:
                 # per-chromatid CV dump at the final generation
                 # (`Simulation.cpp:2665-2683`; one file per chr, the
@@ -562,7 +580,7 @@ class Simulation:
                         f"{self.cfg.prefix}.pop{p.index + 1}.gen{gen}"
                         f".chr{self.chrs[ic]}.cvval"
                     )
-                    cv = np.asarray(c[ic, :, :, :k])  # (n, 2, ncv)
+                    cv = np.asarray(c[ic, : st.n, :, :k])  # (n, 2, ncv)
                     inter = np.empty(
                         (cv.shape[0], 2 * cv.shape[2]), dtype=cv.dtype
                     )
@@ -736,9 +754,23 @@ class Simulation:
 
     def _reproduce(self, p: PopRuntime, gen: int, plan: mating.MatingPlan) -> PopState:
         st = p.state
-        father = jnp.asarray(plan.child_father, dtype=jnp.int32)
-        mother = jnp.asarray(plan.child_mother, dtype=jnp.int32)
-        n_child = int(father.shape[0])
+        n_child = len(plan.child_father)
+        n_pad = self._pad_n(n_child)
+        # pad parent indices with 0: pad children are real meioses of
+        # parent 0, never read (RNG draws are prefix-stable in the leading
+        # axis, so real children's draws are unchanged by padding)
+        father = jnp.asarray(
+            np.pad(plan.child_father, (0, n_pad - n_child)), dtype=jnp.int32
+        )
+        mother = jnp.asarray(
+            np.pad(plan.child_mother, (0, n_pad - n_child)), dtype=jnp.int32
+        )
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            sh = NamedSharding(self.mesh, PartitionSpec("ind"))
+            father = jax.device_put(father, sh)
+            mother = jax.device_put(mother, sh)
         sm = p.smaps
         key = stage_key(self.key, gen, Stage.CROSSOVER, p.index)
         while True:

@@ -92,7 +92,8 @@ def save_genotypes(sim, gen: int) -> None:
             for p in sim.pops:
                 st = p.state
                 painted = paint_chromosome(
-                    st.seg_st[ic], st.seg_hap[ic], st.mut[ic],
+                    st.seg_st[ic, : st.n], st.seg_hap[ic, : st.n],
+                    st.mut[ic, : st.n],
                     founder,
                     _legend_pos(legends[p.index]),
                 )
