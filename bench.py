@@ -2,7 +2,21 @@
 
 Prints ONE JSON line:
   {"metric": "ind_loci_gens_per_s", "value": N, "unit": "ind*loci*gens/s",
-   "vs_baseline": N}
+   "vs_baseline": N, ...}
+
+Extra keys (all measured on the same chip, same run):
+  bytes_per_s       effective HBM traffic of the generation step, using the
+                    packed engine's floor of 0.75 B per ind*locus*gen
+                    (6 passes over n*m/8-byte planes: 4 parent gathers +
+                    2 child writes, `dense/packed.py`)
+  pct_of_ceiling    measured_rate / speed-of-light rate, where speed of
+                    light is the measured time of two bare HBM row-gather+
+                    write passes over the same (n, 2, m/32) uint32 state —
+                    the irreducible memory motion of one generation
+  gather_GBps       measured row-gather copy bandwidth on this chip
+  stream_GBps       measured streaming (read+write) bandwidth on this chip
+  kernel_oracle_ok  Pallas kernel vs XLA word-mask oracle, bitwise, on this
+                    hardware (not interpret mode)
 
 vs_baseline compares against the reference GeneEvolve's effective rate at its
 largest published config: 300,000 individuals x 320,926 loci / 1,121.8 s per
@@ -19,8 +33,105 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
+import jax.numpy as jnp
 
 REF_RATE = 300_000 * 320_926 / 1_121.8  # reference ind*loci*gens/s
+
+
+def _sync(x) -> float:
+    """Force a device->host scalar fetch as the sync point
+    (block_until_ready can return early on tunneled remote backends)."""
+    return float(jax.tree.leaves(x)[0].ravel()[0])
+
+
+def _time(fn, *args, reps: int = 3) -> float:
+    """Median wall time of fn(*args) after one warmup."""
+    out = fn(*args)
+    _sync(out)
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        _sync(out)
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return ts[len(ts) // 2]
+
+
+def measure_ceilings(n: int = 8192, mw: int = 16384, loops: int = 16):
+    """(gather_GBps, stream_GBps) on this chip, at a fixed ~1 GiB shape.
+
+    Each measurement chains `loops` dependent passes inside ONE dispatch so
+    the tunnel's per-dispatch latency (~10 ms on remote single-chip setups)
+    is amortized out of the bandwidth estimate."""
+    key = jax.random.key(0)
+    hap = jax.random.bits(key, (n, 2, mw), dtype=jnp.uint32)
+    idx = jax.random.randint(jax.random.key(1), (n,), 0, n)
+
+    @jax.jit
+    def gather(h, i):
+        def body(_, x):
+            return x[i]
+
+        return jax.lax.fori_loop(0, loops, body, h)
+
+    @jax.jit
+    def stream(h):
+        def body(k, x):
+            # iteration-dependent constant: XOR passes cannot fold away
+            return x ^ k.astype(jnp.uint32)
+
+        return jax.lax.fori_loop(0, loops, body, h)
+
+    bytes_state = n * 2 * mw * 4
+    dt_g = _time(gather, hap, idx) / loops
+    dt_s = _time(stream, hap) / loops
+    gather_gbps = 2 * bytes_state / dt_g / 1e9  # read (gathered) + write
+    stream_gbps = 2 * bytes_state / dt_s / 1e9  # read + write
+    return gather_gbps, stream_gbps
+
+
+def kernel_vs_oracle(use_pallas: bool) -> bool:
+    """Bitwise Pallas-vs-XLA reproduce check on the current backend."""
+    if not use_pallas:
+        return True  # nothing to certify
+    import numpy as np
+
+    from geneevolve_tpu.dense import packed as pk
+    from geneevolve_tpu.dense.step import _sample_gamete_plan
+
+    cfg = pk.PackedConfig(
+        n=64, m=32 * 128 * 8, n_chr=2, xo_cap=4, mut_rate=1.0, mut_cap=4,
+        ncv=16, use_pallas=True,
+    )
+    key = jax.random.key(7)
+    ks = jax.random.split(key, 6)
+    hap = jax.random.bits(ks[0], (cfg.n, 2, cfg.mw), dtype=jnp.uint32)
+    fathers = jax.random.randint(ks[1], (cfg.n,), 0, cfg.n)
+    mothers = jax.random.randint(ks[2], (cfg.n,), 0, cfg.n)
+    xo_p, st_p = _sample_gamete_plan(ks[3], cfg.as_dense(), cfg.n, None)
+    xo_m, st_m = _sample_gamete_plan(ks[4], cfg.as_dense(), cfg.n, None)
+    mu = jnp.stack(
+        [
+            pk.mutation_positions(ks[5], cfg.n, cfg),
+            pk.mutation_positions(jax.random.fold_in(ks[5], 1), cfg.n, cfg),
+        ],
+        axis=1,
+    )
+    from geneevolve_tpu.ops import meiosis_packed_pallas as mpp
+
+    got = mpp.meiose_packed_pallas(
+        hap, fathers, mothers, xo_p, st_p, xo_m, st_m, mu,
+        n_chr=cfg.n_chr, chr_len=cfg.chr_len,
+    )
+    wantA = pk.apply_mutations_packed(
+        pk.meiose_packed_xla(hap, fathers, xo_p, st_p, cfg), mu[:, 0]
+    )
+    wantB = pk.apply_mutations_packed(
+        pk.meiose_packed_xla(hap, mothers, xo_m, st_m, cfg), mu[:, 1]
+    )
+    want = jnp.stack([wantA, wantB], axis=1)
+    return bool(np.array_equal(np.asarray(got), np.asarray(want)))
 
 
 def run(n: int, m: int, gens: int, use_pallas: bool, packed: bool) -> float:
@@ -39,7 +150,7 @@ def run(n: int, m: int, gens: int, use_pallas: bool, packed: bool) -> float:
     if packed:
         from geneevolve_tpu.dense.packed import (
             PackedConfig as Cfg,
-            init_state,
+            init_state_streamed as init_state,
             make_step,
         )
     else:
@@ -53,8 +164,11 @@ def run(n: int, m: int, gens: int, use_pallas: bool, packed: bool) -> float:
     step = make_step(cfg)
 
     # all generations inside one jit (lax.scan): measures device time, not
-    # the tunnel's ~10 ms per-dispatch overhead
-    @jax.jit
+    # the tunnel's ~10 ms per-dispatch overhead. The state is donated so the
+    # carry is double- not triple-buffered (4 GiB state x k copies matters).
+    from functools import partial as _partial
+
+    @_partial(jax.jit, donate_argnums=0)
     def evolve(state, key):
         def body(st, k):
             return step(st, k), ()
@@ -62,21 +176,24 @@ def run(n: int, m: int, gens: int, use_pallas: bool, packed: bool) -> float:
         out, _ = jax.lax.scan(body, state, jax.random.split(key, gens))
         return out
 
-    # warmup / compile; force a device->host scalar fetch as the sync point
-    # (block_until_ready can return early on tunneled remote backends)
-    out = evolve(state, jax.random.key(1))
-    float(out["hap"][0, 0, 0])
-    t0 = time.perf_counter()
-    out = evolve(state, jax.random.key(2))
-    float(out["hap"][0, 0, 0])
-    dt = time.perf_counter() - t0
-    return n * m * gens / dt
+    state = evolve(state, jax.random.key(1))  # warmup / compile
+    _sync(state)
+    ts = []
+    for rep in range(3):
+        t0 = time.perf_counter()
+        state = evolve(state, jax.random.key(2 + rep))
+        _sync(state)
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return n * m * gens / ts[len(ts) // 2]
 
 
 def main() -> None:
-    n = int(os.environ.get("BENCH_N", 4096))
-    m = int(os.environ.get("BENCH_M", 262144))
-    gens = int(os.environ.get("BENCH_GENS", 10))
+    # honest default shape: 16k individuals x 1 Mi loci = 4 GiB packed state
+    # (double-buffered under scan: ~8 GiB of a v5e's 16 GiB HBM)
+    n = int(os.environ.get("BENCH_N", 16384))
+    m = int(os.environ.get("BENCH_M", 1_048_576))
+    gens = int(os.environ.get("BENCH_GENS", 5))
     use_pallas = os.environ.get("BENCH_PALLAS", "auto")
     if use_pallas == "auto":
         use_pallas = jax.default_backend() == "tpu"
@@ -84,8 +201,18 @@ def main() -> None:
         use_pallas = use_pallas == "1"
     packed = os.environ.get("BENCH_PACKED", "1") == "1"
 
+    # tiny checks first, while HBM is empty
+    try:
+        oracle_ok = kernel_vs_oracle(use_pallas)
+    except Exception:
+        oracle_ok = False
+    try:
+        gather_gbps, stream_gbps = measure_ceilings()
+    except Exception:
+        gather_gbps = stream_gbps = -1.0
+
     rate = None
-    for attempt in range(4):
+    for attempt in range(6):
         try:
             rate = run(n, m, gens, use_pallas, packed)
             break
@@ -105,6 +232,17 @@ def main() -> None:
     if rate is None:
         raise RuntimeError("benchmark failed to run")
 
+    gen_dt = n * m * gens / rate / gens  # seconds per generation
+    bytes_per_gen = n * (m // 8) * 6  # 0.75 B per ind*locus
+    # speed of light: one generation's irreducible motion is two
+    # gather+write passes over the (n, 2, m/32) uint32 state
+    state_bytes = n * 2 * (m // 32) * 4
+    if gather_gbps > 0:
+        sol = 4 * state_bytes / (gather_gbps * 1e9)
+        pct = sol / gen_dt
+    else:
+        sol = pct = -1.0
+
     print(
         json.dumps(
             {
@@ -112,6 +250,18 @@ def main() -> None:
                 "value": rate,
                 "unit": "ind*loci*gens/s",
                 "vs_baseline": rate / REF_RATE,
+                "bytes_per_s": rate * 0.75,
+                "pct_of_ceiling": pct,
+                "gather_GBps": gather_gbps,
+                "stream_GBps": stream_gbps,
+                "sol_s_per_gen": sol,
+                "s_per_gen": gen_dt,
+                "bytes_per_gen": bytes_per_gen,
+                "n": n,
+                "m": m,
+                "gens": gens,
+                "pallas": bool(use_pallas),
+                "kernel_oracle_ok": bool(oracle_ok),
             }
         )
     )

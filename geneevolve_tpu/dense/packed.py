@@ -108,6 +108,49 @@ def init_state(key: jax.Array, cfg: PackedConfig, maf_min: float = 0.05):
     }
 
 
+def init_state_streamed(
+    key: jax.Array, cfg: PackedConfig, maf_min: float = 0.05,
+    chunk_loci: int = 1 << 15,
+):
+    """Packed founder planes built chunk-by-chunk over loci, so the peak
+    footprint is one (n, chunk) byte buffer + the 4 GiB-scale packed output —
+    never the (n, m) unpacked array (`init_state` wraps the byte engine's
+    init and OOMs at n*m > HBM). Same per-locus allele-frequency law as
+    `dense/step.py:init_state` (uniform MAF, thresholded random bytes), but
+    a different bit-stream."""
+    while cfg.m % chunk_loci or chunk_loci % 32:
+        chunk_loci //= 2
+        if chunk_loci < 32:
+            raise ValueError("m must be a multiple of 32")
+    nchunks = cfg.m // chunk_loci
+    kf, ka, kb, k3 = jax.random.split(key, 4)
+    freqs = jax.random.uniform(
+        kf, (cfg.m,), minval=maf_min, maxval=1 - maf_min
+    )
+    thresh = (freqs * 256.0).astype(jnp.uint8).reshape(nchunks, chunk_loci)
+
+    @jax.jit
+    def build(kplane):
+        def one(carry, xs):
+            i, th = xs
+            kc = jax.random.fold_in(kplane, i)
+            b = jax.random.bits(kc, (cfg.n, chunk_loci), dtype=jnp.uint8)
+            return carry, pack_bits((b < th[None, :]).astype(jnp.uint8))
+
+        _, words = jax.lax.scan(
+            one, 0, (jnp.arange(nchunks), thresh)
+        )  # (nchunks, n, chunk/32)
+        return jnp.moveaxis(words, 0, 1).reshape(cfg.n, cfg.mw)
+
+    cv_idx = jnp.linspace(0, cfg.m - 1, cfg.ncv).astype(jnp.int32)
+    eff = jax.random.normal(k3, (cfg.ncv,), dtype=jnp.float32)
+    return {
+        "hap": jnp.stack([build(ka), build(kb)], axis=1),
+        "cv_idx": cv_idx,
+        "eff": eff,
+    }
+
+
 def phase_word_masks(
     xo: jax.Array,  # (n, n_chr, K) crossover loci columns, pad = m
     start: jax.Array,  # (n, n_chr)
