@@ -329,11 +329,19 @@ class Simulation:
                 founder_cv, cv_bp, a_eff, d_eff = [], [], [], []
                 for c in chrs:
                     mat = hap_io.read_hap(cv_addr[c])  # (2n0, ncv_chr)
-                    if mat.shape[1] != len(cv_info[c].bp):
+                    ncv_c = len(cv_info[c].bp)
+                    if mat.shape[1] < ncv_c:
                         raise SimulationError(
-                            "number of CVs in cv.hap and cv.info files are "
-                            f"not equal (chr {c})"
+                            "fewer CVs in cv.hap than cv.info file "
+                            f"(chr {c}: {mat.shape[1]} < {ncv_c})"
                         )
+                    # v1.5.0 semantics: the CV hap file may carry more rows
+                    # than cv.info lists; only the first ncv_info are ever
+                    # indexed (`Simulation.cpp:2762-2767` loops icv<ncv from
+                    # cv_info; `Population.cpp:314-343` loads the whole file
+                    # unchecked). Example2.zip relies on this (300-row CV hap
+                    # files vs 50 cv.info rows per chromosome).
+                    mat = mat[:, :ncv_c]
                     if n_founders is None:
                         n_founders = mat.shape[0] // 2
                     elif n_founders != mat.shape[0] // 2:

@@ -179,17 +179,85 @@ def load_panel(
 
 
 def evolve(
-    sc: PanelScenario, gens: int, seed: int = 2, log=print
+    sc: PanelScenario, gens: int, seed: int = 2, log=print,
+    start_gen: int = 0, checkpoint_every: int = 0, checkpoint_path: str = "",
 ) -> dict:
-    """Run `gens` generations; returns the final state."""
+    """Run generations [start_gen, gens); returns the final state.
+
+    The per-generation key is fold_in(key(seed), g) — a pure function of
+    (seed, g) — so a run resumed from a checkpoint at generation g continues
+    bit-identically to the uninterrupted run."""
     step = jax.jit(make_step(sc.cfg, xo_cdf=sc.xo_cdf))
     state = sc.state
     key = jax.random.key(seed)
-    for g in range(gens):
+    for g in range(start_gen, gens):
         state = step(state, jax.random.fold_in(key, g))
+        if checkpoint_every and (g + 1) % checkpoint_every == 0:
+            sc.state = state
+            save_checkpoint(sc, g + 1, seed, checkpoint_path)
     jax.block_until_ready(state)
     sc.state = state
     return state
+
+
+CKPT_VERSION = 1
+
+
+def save_checkpoint(sc: PanelScenario, gen: int, seed: int, path: str) -> None:
+    """Atomic npz checkpoint of the packed engine state (the flagship path;
+    the segment engine's is `core/checkpoint.py`). Stores the packed planes,
+    CV columns/effects, the map CDF, and enough config identity to refuse a
+    mismatched resume."""
+    import io as _io
+    import os as _os
+
+    data = {
+        "ckpt_version": CKPT_VERSION,
+        "gen": gen,
+        "seed": seed,
+        "n": sc.cfg.n,
+        "m": sc.cfg.m,
+        "n_chr": sc.cfg.n_chr,
+        "mut_rate": sc.cfg.mut_rate,
+        "selection": sc.cfg.selection,
+        "hap": np.asarray(sc.state["hap"]),
+        "cv_idx": np.asarray(sc.state["cv_idx"]),
+        "eff": np.asarray(sc.state["eff"]),
+        "xo_cdf": np.asarray(sc.xo_cdf),
+    }
+    buf = _io.BytesIO()
+    np.savez_compressed(buf, **data)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(buf.getvalue())
+    _os.replace(tmp, path)
+
+
+def load_checkpoint(sc: PanelScenario, seed: int, path: str) -> int:
+    """Restore a `save_checkpoint` file into `sc`; returns the generation to
+    resume from (the next step runs fold_in(key, gen))."""
+    z = np.load(path, allow_pickle=False)
+    if int(z["ckpt_version"]) != CKPT_VERSION:
+        raise RuntimeError(
+            f"checkpoint version {int(z['ckpt_version'])} != {CKPT_VERSION}"
+        )
+    for k in ("n", "m", "n_chr"):
+        if int(z[k]) != getattr(sc.cfg, k):
+            raise RuntimeError(
+                f"checkpoint {k}={int(z[k])} does not match scenario "
+                f"{k}={getattr(sc.cfg, k)}"
+            )
+    if int(z["seed"]) != seed:
+        raise RuntimeError(
+            "checkpoint seed differs; a resumed run would not continue the "
+            "same trajectory"
+        )
+    sc.state = {
+        "hap": jnp.asarray(z["hap"]),
+        "cv_idx": jnp.asarray(z["cv_idx"]),
+        "eff": jnp.asarray(z["eff"]),
+    }
+    return int(z["gen"])
 
 
 def write_hap(sc: PanelScenario, prefix: str, gen: int) -> None:
@@ -220,6 +288,10 @@ def main(argv=None) -> int:
     ap.add_argument("--out_hap", action="store_true")
     ap.add_argument("--prefix", default="out.dense")
     ap.add_argument("--seed", type=int, default=1)
+    ap.add_argument("--checkpoint_every", type=int, default=0,
+                    help="write <prefix>.ckpt.npz every N generations")
+    ap.add_argument("--resume", default="",
+                    help="resume from a checkpoint written by this CLI")
     args = ap.parse_args(argv)
 
     t0 = time.time()
@@ -237,8 +309,17 @@ def main(argv=None) -> int:
         f"(packed {sc.cfg.mw * 4} bytes/chromatid), "
         f"total map = {float(sc.xo_cdf[-1]):.2f} Morgans"
     )
-    evolve(sc, args.gens, seed=args.seed + 1)
-    print(f"evolved {args.gens} generations in {time.time() - t0:.1f} s")
+    start_gen = 0
+    if args.resume:
+        start_gen = load_checkpoint(sc, args.seed + 1, args.resume)
+        print(f"resumed from {args.resume} at generation {start_gen}")
+    evolve(
+        sc, args.gens, seed=args.seed + 1, start_gen=start_gen,
+        checkpoint_every=args.checkpoint_every,
+        checkpoint_path=f"{args.prefix}.ckpt.npz",
+    )
+    print(f"evolved {args.gens - start_gen} generations in "
+          f"{time.time() - t0:.1f} s")
     if args.out_hap:
         write_hap(sc, args.prefix, args.gens)
         print(f"wrote {args.prefix}.gen{args.gens}.chr*.hap")

@@ -77,3 +77,40 @@ def test_panel_scenario_end_to_end(examples_dir, tmp_path):
     # drift is bounded: allele frequencies stay correlated with gen 0
     r = np.corrcoef(af0[: sc.m_real[0]], af2)[0, 1]
     assert r > 0.9, r
+
+
+def test_dense_checkpoint_resume_bit_identical(examples_dir, tmp_path):
+    """Interrupted-and-resumed run continues bit-identically: evolve 4 gens
+    straight vs 2 gens + checkpoint + fresh load_panel + resume 2 more."""
+    def fresh():
+        return scenario.load_panel(
+            str(examples_dir / "par.pop1.hap_sample_address.txt"),
+            str(examples_dir / "Recom.Map.b37.50KbDiff"),
+            mut_rate=0.5,
+            seed=5,
+        )
+
+    ckpt = str(tmp_path / "run.ckpt.npz")
+    sc1 = fresh()
+    scenario.evolve(sc1, gens=4, seed=6)
+
+    sc2 = fresh()
+    scenario.evolve(sc2, gens=4, seed=6, checkpoint_every=2,
+                    checkpoint_path=ckpt)
+    sc3 = fresh()
+    # the last checkpoint written is gen 4; use the gen-2 one via a re-run
+    scenario.evolve(sc3, gens=2, seed=6, checkpoint_every=2,
+                    checkpoint_path=ckpt)
+    sc4 = fresh()
+    start = scenario.load_checkpoint(sc4, 6, ckpt)
+    assert start == 2
+    scenario.evolve(sc4, gens=4, seed=6, start_gen=start)
+    assert np.array_equal(np.asarray(sc1.state["hap"]),
+                          np.asarray(sc4.state["hap"]))
+
+    # mismatched seed refuses to resume
+    sc5 = fresh()
+    import pytest
+
+    with pytest.raises(RuntimeError, match="seed"):
+        scenario.load_checkpoint(sc5, 7, ckpt)

@@ -194,38 +194,125 @@ def run_example(i: int, exdir: str, ref_bin: str, workdir: str, report: dict) ->
     return all_ok
 
 
+def _vcf_to_hap_panel(exdir: str, address_file: str, outdir: str) -> dict:
+    """Convert a VCF founder panel to hap/legend/indv and write the
+    `chr hap legend sample` address file the reference binary's hap path
+    expects (`Population.cpp:103-147`). Needed because the shipped v1.1.0
+    binary predates VCF support (`--file_ref_vcf` only exists in source
+    v1.5.0, `parameters.cpp:44-47`); the founder genetics are identical
+    either way, so summary trajectories remain A/B-comparable.
+
+    Returns {chr: nsnp} for downstream schema checks."""
+    from geneevolve_tpu.io import hap as hapio
+    from geneevolve_tpu.io import vcf as vcfio
+
+    os.makedirs(outdir, exist_ok=True)
+    nsnp = {}
+    rows = []
+    with open(os.path.join(exdir, address_file)) as f:
+        next(f)  # "chr file" header
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            chrom, vcf_path = parts[0], parts[1]
+            v = vcfio.read_vcf(os.path.join(exdir, vcf_path))
+            base = os.path.join(outdir, f"conv.chr{chrom}")
+            hapio.write_hap(base + ".hap", v.hap)
+            with open(base + ".legend", "w") as lf:
+                lf.write("id position a0 a1\n")
+                for j in range(v.nsnp):
+                    rid = v.ids[j] if v.ids[j] != "." else f"snp{chrom}_{j}"
+                    lf.write(f"{rid} {v.pos[j]} {v.ref[j]} {v.alt[j]}\n")
+            hapio.write_indv(base + ".indv", v.samples)
+            rows.append((chrom, base))
+            nsnp[chrom] = v.nsnp
+    addr = os.path.join(outdir, "conv.hap_address.txt")
+    with open(addr, "w") as f:
+        f.write("chr hap legend sample\n")
+        for chrom, base in rows:
+            f.write(f"{chrom} {base}.hap {base}.legend {base}.indv\n")
+    return nsnp
+
+
 def run_vcf_example(ref_bin: str, workdir: str, report: dict,
                     zip_path: str = DEFAULT_VCF_ZIP) -> bool:
     """The Example2.zip 22-chromosome VCF scenario (main.sh), with a fixed
-    seed added (the script relies on the time-based default)."""
+    seed added (the script relies on the time-based default).
+
+    The v1.1.0 binary has no VCF input/output and no
+    `--file_output_generations` (those are v1.5.0 source features), so the
+    A/B design is: binary runs on a hap-converted copy of the same founder
+    panel; ours runs the true VCF path end-to-end. Deterministic gen-0
+    variance components and trajectory means must still agree (identical
+    founders + CV effects). Our VCF outputs are checked against the v1.5.0
+    source contract (`Simulation.cpp:1690-1758`) directly."""
     exroot = os.path.join(workdir, "vcf_example")
     with zipfile.ZipFile(zip_path) as z:
         z.extractall(exroot)
     exdir = os.path.join(exroot, "Example2")
-    argv = [
-        "--file_gen_info", "par.geninfo.txt",
-        "--file_ref_vcf", "par.vcf_sample_address.txt",
-        "--file_recom_map", "Recom.Map.b37.50KbDiff",
-        "--file_cv_info", "par.cv.info",
-        "--file_cvs", "par.cv_hap_files.txt",
-        "--va", ".4", "--ve", ".6",
-        "--file_output_generations", "par.output.txt",
-        "--out_vcf",
-        "--seed", "12345",
-        "--prefix", "PREFIX",
-    ]
-    i = argv.index("PREFIX")
 
     ref_prefix = os.path.join(workdir, "ref.vcf")
     our_prefix = os.path.join(workdir, "ours.vcf")
-    print("== VCF example (Example2.zip): running reference binary ...",
+
+    print("== VCF example: converting VCF founders to hap for the v1.1.0 "
+          "binary ...", flush=True)
+    convdir = os.path.join(workdir, "vcf_as_hap")
+    nsnp = _vcf_to_hap_panel(exdir, "par.vcf_sample_address.txt", convdir)
+
+    # Example2's CV hap files carry 300 rows/chr but par.cv.info lists 50;
+    # v1.5.0 silently uses only the first 50 (`Simulation.cpp:2762-2767`)
+    # while v1.1.0 hard-errors on the count mismatch — hand the binary
+    # trimmed copies holding exactly the rows the v1.5.0 semantics use.
+    ncv_per_chr = {}
+    with open(os.path.join(exdir, "par.cv.info")) as f:
+        next(f)
+        for line in f:
+            parts = line.split()
+            if parts:
+                ncv_per_chr[parts[0]] = ncv_per_chr.get(parts[0], 0) + 1
+    trimmed_cvs = os.path.join(convdir, "conv.cv_hap_files.txt")
+    with open(os.path.join(exdir, "par.cv_hap_files.txt")) as f, \
+            open(trimmed_cvs, "w") as out:
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            chrom, path = parts[0], parts[1]
+            trimmed = os.path.join(convdir, f"conv.cv.chr{chrom}.hap")
+            with open(os.path.join(exdir, path)) as src, \
+                    open(trimmed, "w") as dst:
+                for k, row in enumerate(src):
+                    if k >= ncv_per_chr[chrom]:
+                        break
+                    dst.write(row)
+            out.write(f"{chrom} {trimmed}\n")
+
+    common = [
+        "--file_recom_map", "Recom.Map.b37.50KbDiff",
+        "--file_cv_info", "par.cv.info",
+        "--va", ".4", "--ve", ".6",
+        "--seed", "12345",
+    ]
+    print("== VCF example: running reference binary (hap-converted panel) "
+          "...", flush=True)
+    subprocess.run(
+        [ref_bin, "--file_gen_info", "par.geninfo.txt",
+         "--file_hap_name",
+         os.path.join(convdir, "conv.hap_address.txt"),
+         "--file_cvs", trimmed_cvs]
+        + common + ["--prefix", ref_prefix],
+        cwd=exdir, check=True, capture_output=True, timeout=1800,
+    )
+    print("== VCF example: running geneevolve_tpu (native VCF path) ...",
           flush=True)
-    argv[i] = ref_prefix
-    subprocess.run([ref_bin] + argv, cwd=exdir, check=True,
-                   capture_output=True, timeout=1800)
-    print("== VCF example: running geneevolve_tpu ...", flush=True)
-    argv[i] = our_prefix
-    rc = run_ours(list(argv), exdir)
+    rc = run_ours(
+        ["--file_gen_info", "par.geninfo.txt",
+         "--file_ref_vcf", "par.vcf_sample_address.txt",
+         "--file_cvs", "par.cv_hap_files.txt",
+         "--file_output_generations", "par.output.txt",
+         "--out_vcf"] + common + ["--prefix", our_prefix],
+        exdir)
     if rc != 0:
         print(f"VCF example: our CLI failed rc={rc}")
         return False
@@ -234,23 +321,27 @@ def run_vcf_example(ref_bin: str, workdir: str, report: dict,
     our_cols = read_summary(f"{our_prefix}.pop1.summary")
     checks = compare(ref_cols, our_cols)
 
-    # schema parity on the written VCFs: same record counts per chromosome,
-    # same sample naming (g<gen>_<id>, `Simulation.cpp:1729`)
+    # Schema checks on our VCF output vs the v1.5.0 source contract:
+    # one file per pop/gen/chr, record count == panel biallelic count,
+    # samples == pop size at that gen named g<gen>_<id>
+    # (`Simulation.cpp:1729`), required meta lines (`:1716-1724`).
+    pop_size = 1000  # par.geninfo.txt rows
     for gen in (4, 5):
-        for chrom in (1, 22):
-            rp = f"{ref_prefix}.pop1.gen{gen}.chr{chrom}.vcf"
+        for chrom in ("1", "22"):
             op = f"{our_prefix}.pop1.gen{gen}.chr{chrom}.vcf"
-            rn = _vcf_schema(rp)
             on = _vcf_schema(op)
             checks.append(
-                (f"vcf gen{gen} chr{chrom} records", rn["records"],
-                 on["records"], 0, bool(rn["records"] == on["records"])))
+                (f"vcf gen{gen} chr{chrom} records", nsnp[chrom],
+                 on["records"], 0, bool(on["records"] == nsnp[chrom])))
             checks.append(
-                (f"vcf gen{gen} chr{chrom} samples", rn["samples"],
-                 on["samples"], 0, bool(rn["samples"] == on["samples"])))
+                (f"vcf gen{gen} chr{chrom} samples", pop_size,
+                 on["samples"], 0, bool(on["samples"] == pop_size)))
             checks.append(
                 (f"vcf gen{gen} chr{chrom} sample0", 0, 0, 0,
-                 bool(rn["sample0"] == on["sample0"])))
+                 bool(on["sample0"] == f"g{gen}_1")))
+            checks.append(
+                (f"vcf gen{gen} chr{chrom} meta", 0, 0, 0,
+                 bool(on["meta_ok"])))
     report.setdefault("checks", []).extend(
         {"pop": 1, "name": n, "ref": r, "ours": o, "tol": t, "ok": k}
         for n, r, o, t, k in checks
@@ -262,9 +353,11 @@ def _vcf_schema(path: str) -> dict:
     records = 0
     samples = 0
     sample0 = ""
+    meta = []
     with open(path) as f:
         for line in f:
             if line.startswith("##"):
+                meta.append(line.rstrip("\n"))
                 continue
             if line.startswith("#CHROM"):
                 parts = line.rstrip("\n").split("\t")
@@ -272,7 +365,10 @@ def _vcf_schema(path: str) -> dict:
                 sample0 = parts[9] if samples else ""
                 continue
             records += 1
-    return {"records": records, "samples": samples, "sample0": sample0}
+    meta_ok = any(m.startswith("##fileformat=VCFv4.1") for m in meta) and any(
+        m.startswith("##CreatedBy=") for m in meta)
+    return {"records": records, "samples": samples, "sample0": sample0,
+            "meta_ok": meta_ok}
 
 
 def main() -> int:
