@@ -82,16 +82,28 @@ def make_sharded_step(cfg, mesh: Mesh):
     return jax.jit(step, in_shardings=in_shardings, out_shardings=out_shardings)
 
 
-def make_deme_step(cfg, mesh: Mesh):
+def make_deme_step(cfg, mesh: Mesh, mig_rate: float = 0.0):
     """Deme-mode sharded generation step (shard_map over the mesh).
 
     Each individuals-shard is a *deme*: children pick parents within their
     own shard, so meiosis needs zero cross-device traffic; chromosomes are
     split whole across loci shards, so crossover plans are per-shard
-    independent. The only collective is one small `psum` over 'loci' to
-    assemble the selection phenotype from each shard's CV columns. This is
-    the linear-weak-scaling configuration (the biological analog of
-    subpopulations with migration handled at a higher level); panmictic
+    independent. The only collectives are one small `psum` over 'loci' to
+    assemble the selection phenotype from each shard's CV columns, and —
+    with `mig_rate` > 0 — one `ppermute` over 'ind' that exchanges
+    emigrants between neighboring demes in a ring.
+
+    Migration maps the reference's `ras_do_migration`
+    (`/root/reference/src/Simulation.cpp:877-989`: counts = round(m*n),
+    sample emigrants without replacement, move them) onto the ICI: each
+    generation, round(mig_rate * n_deme) children sampled without
+    replacement (a loci-invariant permutation, so all loci shards move the
+    same rows) are sent to the next deme and replaced by the previous
+    deme's emigrants — a row-ragged all_to_all specialized to the ring.
+    With island-model migration (N_deme * m >> 1) the metapopulation's
+    heterozygosity trajectory matches panmictic Ne = n (validated in
+    `tests/test_statistics.py`); with mig_rate=0 each deme drifts at
+    Ne = n/ind_n. This is the linear-weak-scaling configuration; panmictic
     exact mode is `make_sharded_step`.
 
     Requires cfg.n % mesh_ind == 0 and cfg.n_chr % mesh_loci == 0."""
@@ -127,6 +139,9 @@ def make_deme_step(cfg, mesh: Mesh):
     reproduce = make_reproduce(cfg_loc)
     dense_loc = cfg_loc.as_dense()
     n_loc, m_loc = cfg_loc.n, cfg_loc.m
+    n_emig = int(round(mig_rate * n_loc)) if ind_n > 1 else 0
+    if not 0 <= n_emig <= n_loc:
+        raise ValueError(f"mig_rate {mig_rate} out of range")
 
     def local_step(state, key):
         i = jax.lax.axis_index("ind")
@@ -134,7 +149,7 @@ def make_deme_step(cfg, mesh: Mesh):
         hap = state["hap"]
         k_ind = jax.random.fold_in(key, i)  # loci-invariant: mating
         k_loc = jax.random.fold_in(k_ind, 1 + j)  # per-shard: xo/mutation
-        k_mate, _ = jax.random.split(k_ind)
+        k_mate, k_mig = jax.random.split(k_ind)
         k_pat, k_mat, k_mu1, k_mu2 = jax.random.split(k_loc, 4)
 
         if cfg.selection:
@@ -171,6 +186,14 @@ def make_deme_step(cfg, mesh: Mesh):
                 axis=1,
             )
         child = reproduce(hap, fathers, mothers, xo_p, st_p, xo_m, st_m, mu)
+        if n_emig:
+            # sample emigrants without replacement with a loci-invariant key
+            # (k_mig derives from k_ind), so every loci shard moves the same
+            # individuals; ring ppermute over 'ind' rides the ICI
+            slots = jax.random.permutation(k_mig, n_loc)[:n_emig]
+            ring = [(s, (s + 1) % ind_n) for s in range(ind_n)]
+            incoming = jax.lax.ppermute(child[slots], "ind", ring)
+            child = child.at[slots].set(incoming)
         return {
             "hap": child,
             "cv_idx": state["cv_idx"],

@@ -243,6 +243,64 @@ def test_var_a_growth_under_assortative_mating(tmp_path):
     assert ratio_am > ratio_rm + 0.1, (ratio_am, ratio_rm)
 
 
+def test_deme_migration_matches_panmictic_heterozygosity():
+    """Deme mode is a *usable approximation* of the panmictic law only with
+    migration: with ring migration at N_deme*m >> 1 the metapopulation's
+    heterozygosity decays at the panmictic rate (1 - 1/2N)^t (Wright's
+    island model, F_ST ~= 1/(1+4Nm) small); with mig_rate=0 each deme
+    drifts at its own Ne = N/D, decaying D times faster. Mirrors the
+    reference's migration semantics (`ras_do_migration`,
+    Simulation.cpp:877-989) on the ICI ppermute path."""
+    from geneevolve_tpu.dense import packed as pk
+    from geneevolve_tpu.parallel import mesh as pmesh
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs 8 virtual devices")
+    mesh = pmesh.make_mesh(jax.devices()[:8], shape=(8, 1))
+    cfg = pk.PackedConfig(n=256, m=4096, n_chr=4, morgans_per_chr=1.0,
+                          xo_cap=8)
+    gens, reps = 40, 2
+    D = 8
+
+    def het(state):
+        """Within-deme expected heterozygosity H_S averaged over demes
+        (rows are block-sharded in deme order). H_S is the discriminating
+        statistic: under isolation the *total* H_T stays high while demes
+        fix (Wright's H_S vs H_T), so pooled frequencies would not detect
+        the missing migration."""
+        a = np.asarray(pk.unpack_bits(state["hap"][:, 0], cfg.m), np.float64)
+        b = np.asarray(pk.unpack_bits(state["hap"][:, 1], cfg.m), np.float64)
+        h = np.concatenate([a, b])  # (2n, m), deme d = rows d*nd:(d+1)*nd
+        nd = cfg.n // D
+        hs = []
+        for d in range(D):
+            rows = np.r_[d * nd : (d + 1) * nd,
+                         cfg.n + d * nd : cfg.n + (d + 1) * nd]
+            p = h[rows].mean(axis=0)
+            hs.append(np.mean(2 * p * (1 - p)))
+        return float(np.mean(hs))
+
+    def run(mig_rate, rep):
+        state = pk.init_state(jax.random.key(20 + rep), cfg)
+        state = pmesh.shard_state(state, mesh)
+        step = pmesh.make_deme_step(cfg, mesh, mig_rate=mig_rate)
+        h0 = het(state)
+        key = jax.random.key(50 + rep)
+        for g in range(gens):
+            state = step(state, jax.random.fold_in(key, g))
+        return het(state) / h0
+
+    ratio_mig = float(np.mean([run(0.125, r) for r in range(reps)]))
+    ratio_iso = float(np.mean([run(0.0, r) for r in range(reps)]))
+    want_pan = (1 - 1 / (2 * cfg.n)) ** gens  # ~0.925
+    want_iso = (1 - 1 / (2 * cfg.n / D)) ** gens  # ~0.534
+    assert abs(ratio_mig - want_pan) < 0.06, (ratio_mig, want_pan)
+    assert abs(ratio_iso - want_iso) < 0.10, (ratio_iso, want_iso)
+    assert ratio_mig > ratio_iso + 0.2
+
+
 def test_assortative_mating_couple_correlation():
     """Rank-matching through an MVN(r) template yields couple mating-value
     correlation ~= r (reference `assort_mate`, Simulation.cpp:2257-2301)."""

@@ -43,7 +43,15 @@ import zipfile
 
 # Example-scale runs are tiny; the CPU backend avoids per-call tunnel
 # latency on single-chip remote-TPU setups. Override with GE_PARITY_PLATFORM.
-os.environ.setdefault("JAX_PLATFORMS", os.environ.get("GE_PARITY_PLATFORM", "cpu"))
+# The env var alone is not enough: the environment may pre-pin an
+# experimental platform (e.g. JAX_PLATFORMS=axon), so force it through the
+# config API before any backend initializes (same trick as tests/conftest.py).
+_platform = os.environ.get("GE_PARITY_PLATFORM", "cpu")
+os.environ["JAX_PLATFORMS"] = _platform
+
+import jax
+
+jax.config.update("jax_platforms", _platform)
 
 import numpy as np
 
