@@ -10,9 +10,10 @@ Extra keys (all measured on the same chip, same run):
                     (6 passes over n*m/8-byte planes: 4 parent gathers +
                     2 child writes, `dense/packed.py`)
   pct_of_ceiling    measured_rate / speed-of-light rate, where speed of
-                    light is the measured time of two bare HBM row-gather+
-                    write passes over the same (n, 2, m/32) uint32 state —
-                    the irreducible memory motion of one generation
+                    light is 3x the packed state (read father planes +
+                    read mother planes + write child planes — the fused
+                    kernel's entire O(state) HBM traffic) priced at the
+                    measured row-gather bandwidth on this chip
   gather_GBps       measured row-gather copy bandwidth on this chip
   stream_GBps       measured streaming (read+write) bandwidth on this chip
   kernel_oracle_ok  Pallas kernel vs XLA word-mask oracle, bitwise, on this
@@ -234,11 +235,14 @@ def main() -> None:
 
     gen_dt = n * m * gens / rate / gens  # seconds per generation
     bytes_per_gen = n * (m // 8) * 6  # 0.75 B per ind*locus
-    # speed of light: one generation's irreducible motion is two
-    # gather+write passes over the (n, 2, m/32) uint32 state
+    # speed of light: one generation's irreducible motion is 3x the packed
+    # state — the fused kernel reads the father's two planes and the
+    # mother's two planes (gathered rows) and writes the child's two planes,
+    # nothing else touches HBM at O(state). Priced at the measured gather
+    # bandwidth (gather_GBps already counts read+write traffic).
     state_bytes = n * 2 * (m // 32) * 4
     if gather_gbps > 0:
-        sol = 4 * state_bytes / (gather_gbps * 1e9)
+        sol = 3 * state_bytes / (gather_gbps * 1e9)
         pct = sol / gen_dt
     else:
         sol = pct = -1.0

@@ -68,6 +68,7 @@ class ScenarioConfig:
     profile_dir: str = ""  # write a jax.profiler trace of the main loop here
     checkpoint_every: int = 0  # write <prefix>.ckpt.npz every N generations
     resume: str = ""  # checkpoint file to restore and continue from
+    device_mating: bool = False  # run mate pairing on device (XLA collectives)
 
     @property
     def n_pop(self) -> int:
@@ -181,6 +182,8 @@ def parse_args(argv: List[str]) -> ScenarioConfig:
             cfg.checkpoint_every = int(take_value(a))
         elif a == "--resume":
             cfg.resume = take_value(a)
+        elif a == "--device_mating":
+            cfg.device_mating = True
         elif a in ("--help", "-h", "?", "nothing"):
             pass
         else:

@@ -694,6 +694,38 @@ class Simulation:
             for i, p in enumerate(self.pops):
                 p.state.comp["P"][j] += offs[i]
 
+    def _device_mate(
+        self, p: PopRuntime, gen: int, pop_size: int, g: int
+    ) -> "mating.MatingPlan":
+        """Assortative pairing as one XLA program (`--device_mating`):
+        the sorts/rank-match/veto run device-side (collectives under a
+        sharded mesh, SURVEY §2.4 mate-pairing row); the result lands in the
+        same MatingPlan the reproduce path consumes. Same law as the host
+        oracle, different (jax) random stream."""
+        from geneevolve_tpu.parallel import mating_device as md
+
+        st = p.state
+        key = stage_key(self.key, gen, Stage.MATE, p.index)
+        plan = md.assort_mate_device(
+            key,
+            jnp.asarray(st.mv, dtype=jnp.float32),
+            jnp.asarray(st.svf, dtype=jnp.float32),
+            jnp.asarray(st.sex),
+            {k: jnp.asarray(v) for k, v in st.ped.items()},
+            float(p.schedule.mat_cor[g]),
+            self.cfg.avoid_inbreeding,
+            pop_size,
+        )
+        nc = int(plan.n_couples)
+        if nc == 0:
+            raise SimulationError("device mating produced zero couples")
+        return mating.MatingPlan(
+            father_pos=np.asarray(plan.father_pos)[:nc],
+            mother_pos=np.asarray(plan.mother_pos)[:nc],
+            inbred=np.asarray(plan.inbred)[:nc],
+            child_couple=np.asarray(plan.child_couple),
+        )
+
     # ------------------------------------------------------------------ step
     def step(self, gen: int) -> None:
         t_gen = time.time()
@@ -706,7 +738,14 @@ class Simulation:
                 np_seed(self.cfg.seed, gen, Stage.MATE, p.index)
             )
             with self.timer("mate"):
-                if p.rm:
+                if (
+                    self.cfg.device_mating
+                    and not p.rm
+                    and p.mm_percent == 0
+                    and sched.offspring_dist[g] not in ("f", "F")
+                ):
+                    plan = self._device_mate(p, gen, pop_size, g)
+                elif p.rm:
                     plan = mating.random_mate(
                         rng_mate, st.svf, st.sex, pop_size
                     )

@@ -38,6 +38,29 @@ def _paint_chunk(seg_st, seg_hap, mut, founder, pos):
     return jnp.where(flip, 1 - bits, bits).astype(jnp.uint8)
 
 
+def paint_chunks(
+    seg_st: jax.Array,  # (n, 2, S)
+    seg_hap: jax.Array,
+    mut: jax.Array,
+    founder: np.ndarray,  # (H, m) uint8, concatenated over populations
+    legend_pos: np.ndarray,  # (m,) int64
+):
+    """Yield (lo, (n, 2, mc) uint8) painted loci chunks — the streaming form:
+    SNP-major outputs (.hap, VCF) consume each chunk and drop it, so peak
+    host memory is one chunk x n, never n x m."""
+    founder_d = jnp.asarray(founder, dtype=jnp.uint8)
+    m = len(legend_pos)
+    for lo in range(0, m, _LOCI_CHUNK):
+        pos = jnp.asarray(
+            legend_pos[lo : lo + _LOCI_CHUNK], dtype=segments.pos_dtype()
+        )
+        yield lo, np.asarray(
+            _paint_chunk(
+                seg_st, seg_hap, mut, founder_d[:, lo : lo + _LOCI_CHUNK], pos
+            )
+        )
+
+
 def paint_chromosome(
     seg_st: jax.Array,  # (n, 2, S)
     seg_hap: jax.Array,
@@ -45,20 +68,17 @@ def paint_chromosome(
     founder: np.ndarray,  # (H, m) uint8, concatenated over populations
     legend_pos: np.ndarray,  # (m,) int64
 ) -> np.ndarray:
-    """(n, 2, m) uint8 simulated haplotypes."""
-    founder_d = jnp.asarray(founder, dtype=jnp.uint8)
-    m = len(legend_pos)
-    outs = []
-    for lo in range(0, m, _LOCI_CHUNK):
-        pos = jnp.asarray(
-            legend_pos[lo : lo + _LOCI_CHUNK], dtype=segments.pos_dtype()
-        )
-        outs.append(
-            np.asarray(
-                _paint_chunk(seg_st, seg_hap, mut, founder_d[:, lo : lo + _LOCI_CHUNK], pos)
+    """(n, 2, m) uint8 simulated haplotypes, fully materialized (PED output
+    and tests; the streaming writers use `paint_chunks`)."""
+    return np.concatenate(
+        [
+            blk
+            for _, blk in paint_chunks(
+                seg_st, seg_hap, mut, founder, legend_pos
             )
-        )
-    return np.concatenate(outs, axis=2)
+        ],
+        axis=2,
+    )
 
 
 def _load_founder_chr(sim, ic: int):
@@ -91,25 +111,67 @@ def save_genotypes(sim, gen: int) -> None:
             legends, founder = _load_founder_chr(sim, ic)
             for p in sim.pops:
                 st = p.state
-                painted = paint_chromosome(
-                    st.seg_st[ic, : st.n], st.seg_hap[ic, : st.n],
-                    st.mut[ic, : st.n],
-                    founder,
-                    _legend_pos(legends[p.index]),
-                )
                 base = f"{cfg.prefix}.pop{p.index + 1}.gen{gen}.chr{chrom}"
                 leg = legends[p.index]
-                if cfg.debug:
-                    # AF spot-check on the last SNPs (`Simulation.cpp:1368-1387`)
-                    print("The last allele frequencies")
-                    for af in painted[:, :, -10:].mean(axis=(0, 1)):
-                        print(f"AF = {af:g}")
+                pos = _legend_pos(leg)
+                m = len(pos)
+
+                # SNP-major formats (.hap, VCF) stream loci chunk by chunk:
+                # paint on device, write, drop — peak host memory is one
+                # (n, 2, chunk) block, never (n, 2, m)
+                hap_f = None
+                vcf_w = None
                 if cfg.out_hap:
-                    hap_io.write_hap(
-                        base + ".hap",
-                        painted.reshape(st.n * 2, -1),
-                    )
+                    hap_f = open(base + ".hap", "wb")
                     hap_io.write_indv(base + ".indv", st.ids + 1)
+                if cfg.out_vcf:
+                    v = vcf_io.VcfData(
+                        samples=[f"g{gen}_{i + 1}" for i in st.ids],
+                        chrom=np.full(m, str(chrom), dtype=object),
+                        pos=pos,
+                        ids=_legend_ids(leg),
+                        ref=_legend_al0(leg),
+                        alt=_legend_al1(leg),
+                        qual=np.full(m, ".", dtype=object),
+                        filt=np.full(m, ".", dtype=object),
+                        info=np.full(m, ".", dtype=object),
+                        fmt=np.full(m, "GT", dtype=object),
+                        hap=np.empty((0, 0), dtype=np.uint8),  # streamed
+                        meta_lines=vcf_io.default_meta_lines(),
+                    )
+                    if isinstance(leg, vcf_io.VcfData):
+                        v.chrom = leg.chrom
+                        v.qual = leg.qual
+                        v.filt = leg.filt
+                    vcf_w = vcf_io.VcfStreamWriter(base + ".vcf", v)
+                need_full = cfg.out_plink or cfg.out_plink01 or cfg.debug
+                full_blocks = [] if need_full else None
+                if hap_f or vcf_w or need_full:
+                    for lo, blk in paint_chunks(
+                        st.seg_st[ic, : st.n], st.seg_hap[ic, : st.n],
+                        st.mut[ic, : st.n], founder, pos,
+                    ):
+                        if hap_f is not None:
+                            hap_f.write(
+                                hap_io.hap_bytes(blk.reshape(st.n * 2, -1))
+                            )
+                        if vcf_w is not None:
+                            vcf_w.write_block(lo, blk[:, 0], blk[:, 1])
+                        if full_blocks is not None:
+                            full_blocks.append(blk)
+                if hap_f is not None:
+                    hap_f.close()
+                if vcf_w is not None:
+                    vcf_w.close()
+                if need_full:
+                    painted = np.concatenate(full_blocks, axis=2)
+                    del full_blocks
+                    if cfg.debug:
+                        # AF spot-check on the last SNPs
+                        # (`Simulation.cpp:1368-1387`)
+                        print("The last allele frequencies")
+                        for af in painted[:, :, -10:].mean(axis=(0, 1)):
+                            print(f"AF = {af:g}")
                 if cfg.out_plink or cfg.out_plink01:
                     ids = plink_io.PedIds(
                         fid=st.ped["father"] + 1,  # FID = father (`Simulation.cpp:1396`)
@@ -125,32 +187,11 @@ def save_genotypes(sim, gen: int) -> None:
                         ids,
                         chrom,
                         _legend_ids(leg),
-                        _legend_pos(leg),
+                        pos,
                         _legend_al0(leg),
                         _legend_al1(leg),
                         letters=cfg.out_plink,
                     )
-                if cfg.out_vcf:
-                    n = st.n
-                    v = vcf_io.VcfData(
-                        samples=[f"g{gen}_{i + 1}" for i in st.ids],
-                        chrom=np.full(len(_legend_pos(leg)), str(chrom), dtype=object),
-                        pos=_legend_pos(leg),
-                        ids=_legend_ids(leg),
-                        ref=_legend_al0(leg),
-                        alt=_legend_al1(leg),
-                        qual=np.full(len(_legend_pos(leg)), ".", dtype=object),
-                        filt=np.full(len(_legend_pos(leg)), ".", dtype=object),
-                        info=np.full(len(_legend_pos(leg)), ".", dtype=object),
-                        fmt=np.full(len(_legend_pos(leg)), "GT", dtype=object),
-                        hap=painted.reshape(n * 2, -1),
-                        meta_lines=vcf_io.default_meta_lines(),
-                    )
-                    if isinstance(leg, vcf_io.VcfData):
-                        v.chrom = leg.chrom
-                        v.qual = leg.qual
-                        v.filt = leg.filt
-                    vcf_io.write_vcf(base + ".vcf", v)
     if cfg.out_interval:
         write_interval(sim, gen)
 

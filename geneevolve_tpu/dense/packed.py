@@ -99,13 +99,22 @@ def init_state(key: jax.Array, cfg: PackedConfig, maf_min: float = 0.05):
 
     assert cfg.m % 32 == 0 and cfg.chr_len % 32 == 0
     st = dense_init(key, cfg.as_dense(), maf_min)
+    hap = jnp.stack([pack_bits(st["hapA"]), pack_bits(st["hapB"])], axis=1)
     return {
-        "hap": jnp.stack(
-            [pack_bits(st["hapA"]), pack_bits(st["hapB"])], axis=1
-        ),
+        "hap": hap,
+        "cv": cv_from_planes(hap, st["cv_idx"]),
         "cv_idx": st["cv_idx"],
         "eff": st["eff"],
     }
+
+
+def cv_from_planes(hap: jax.Array, cv_idx: jax.Array) -> jax.Array:
+    """(n, 2, ncv) uint8 CV alleles extracted from the packed planes — used
+    once at init; the step maintains this matrix incrementally."""
+    return jnp.stack(
+        [popcount_dosage(hap[:, 0], cv_idx), popcount_dosage(hap[:, 1], cv_idx)],
+        axis=1,
+    )
 
 
 def init_state_streamed(
@@ -144,8 +153,10 @@ def init_state_streamed(
 
     cv_idx = jnp.linspace(0, cfg.m - 1, cfg.ncv).astype(jnp.int32)
     eff = jax.random.normal(k3, (cfg.ncv,), dtype=jnp.float32)
+    hap = jnp.stack([build(ka), build(kb)], axis=1)
     return {
-        "hap": jnp.stack([build(ka), build(kb)], axis=1),
+        "hap": hap,
+        "cv": cv_from_planes(hap, cv_idx),
         "cv_idx": cv_idx,
         "eff": eff,
     }
@@ -219,17 +230,68 @@ def mutation_positions(key, n: int, cfg: PackedConfig) -> jax.Array:
 
 
 def popcount_dosage(packed: jax.Array, idx: jax.Array) -> jax.Array:
-    """Extract 0/1 alleles at loci `idx` from packed word rows (..., mw)."""
+    """Extract 0/1 alleles at loci `idx` from packed word rows (..., mw).
+
+    NOTE: this is a scattered single-word column gather — ~16 ms/gen at
+    n=8k x 1Mi loci on v5e, latency- not bandwidth-bound. The evolution
+    loop therefore does NOT use it per generation: it maintains the small
+    dense CV matrix incrementally (`cv_child`, mirroring the reference's
+    own design of keeping CV genotypes resident, `Simulation.cpp:2624-2749`
+    / SURVEY §3.4) and uses this only at init and as a test oracle."""
     word = packed[..., idx >> 5]
     return (
         (word >> (idx & 31).astype(jnp.uint32)) & jnp.uint32(1)
     ).astype(jnp.uint8)
 
 
+def cv_child(
+    cv_par: jax.Array,  # (N, 2, ncv) uint8 parent CV alleles
+    parent: jax.Array,  # (n,) parent rows for this gamete
+    xo: jax.Array,  # (n, n_chr, K) crossover loci (global columns, pad = m)
+    start: jax.Array,  # (n, n_chr) start chromatid
+    mu,  # (n, Km) de novo mutation loci for this gamete (pad = m) | None
+    cv_idx: jax.Array,  # (ncv,) int32 global CV columns
+    chr_len: int,
+) -> jax.Array:
+    """(n, ncv) uint8 gamete CV alleles — the same meiosis law as the packed
+    word masks (`phase_word_masks`: phase(l) = (start + #{xo <= l}) & 1,
+    mutations flip per occurrence), restricted to the CV columns. O(n*ncv*K)
+    VPU work on bytes; no genome-plane traffic."""
+    c_of = (cv_idx // chr_len).astype(jnp.int32)  # (ncv,) chromosome of CV
+    # crossovers of the CV's own chromosome, counted at or below the CV locus
+    xo_cv = jnp.take_along_axis(
+        xo, c_of[None, :, None], axis=1
+    )  # (n, ncv, K)
+    cnt = jnp.sum(xo_cv <= cv_idx[None, :, None], axis=-1)  # (n, ncv)
+    st_cv = jnp.take_along_axis(start, c_of[None, :], axis=1)  # (n, ncv)
+    phase = ((st_cv + cnt) & 1).astype(jnp.uint8)
+    a = cv_par[parent, 0]  # (n, ncv)
+    b = cv_par[parent, 1]
+    child = jnp.where(phase == 0, a, b)
+    if mu is not None:
+        flips = (
+            jnp.sum(mu[:, :, None] == cv_idx[None, None, :], axis=1) & 1
+        ).astype(jnp.uint8)
+        child = child ^ flips
+    return child
+
+
 def phenotype_additive_packed(hap, cv_idx, eff):
+    """Oracle path: breeding values via a plane column gather (slow per
+    generation; see `popcount_dosage` note). The step uses
+    `phenotype_from_cv` on the resident CV matrix instead."""
     t = (
         popcount_dosage(hap[:, 0], cv_idx) + popcount_dosage(hap[:, 1], cv_idx)
     ).astype(jnp.float32)
+    p = jnp.mean(t, axis=0) / 2.0
+    return (t - 2.0 * p[None, :]) @ eff
+
+
+def phenotype_from_cv(cv, eff):
+    """Breeding values from the resident (n, 2, ncv) CV matrix, with
+    per-generation allele-frequency centering (`Simulation.cpp:2647-2711`,
+    additive-only). One (n, ncv) @ (ncv,) on the MXU."""
+    t = (cv[:, 0] + cv[:, 1]).astype(jnp.float32)
     p = jnp.mean(t, axis=0) / 2.0
     return (t - 2.0 * p[None, :]) @ eff
 
@@ -277,9 +339,7 @@ def make_step(cfg: PackedConfig, xo_cdf=None):
         k_mate, k_pat, k_mat, k_mu1, k_mu2 = jax.random.split(key, 5)
 
         if cfg.selection:
-            bv = phenotype_additive_packed(
-                hap, state["cv_idx"], state["eff"]
-            )
+            bv = phenotype_from_cv(state["cv"], state["eff"])
             z = (bv - jnp.mean(bv)) / (jnp.std(bv) + 1e-9)
             km1, km2 = jax.random.split(k_mate)
             fathers = jax.random.categorical(km1, z, shape=(n,))
@@ -301,8 +361,22 @@ def make_step(cfg: PackedConfig, xo_cdf=None):
                 axis=1,
             )
         child = reproduce(hap, fathers, mothers, xo_p, st_p, xo_m, st_m, mu)
+        # advance the resident CV matrix through the SAME meiosis law —
+        # zero genome-plane traffic for the phenotype path
+        cv = jnp.stack(
+            [
+                cv_child(state["cv"], fathers, xo_p, st_p,
+                         None if mu is None else mu[:, 0],
+                         state["cv_idx"], cfg.chr_len),
+                cv_child(state["cv"], mothers, xo_m, st_m,
+                         None if mu is None else mu[:, 1],
+                         state["cv_idx"], cfg.chr_len),
+            ],
+            axis=1,
+        )
         return {
             "hap": child,
+            "cv": cv,
             "cv_idx": state["cv_idx"],
             "eff": state["eff"],
         }

@@ -166,7 +166,14 @@ def load_panel(
             jax.random.fold_in(key, 1), (cfg.ncv,), dtype=jnp.float32
         )
 
-    state = {"hap": hap, "cv_idx": cv_idx, "eff": eff}
+    from geneevolve_tpu.dense.packed import cv_from_planes
+
+    state = {
+        "hap": hap,
+        "cv": cv_from_planes(hap, cv_idx),
+        "cv_idx": cv_idx,
+        "eff": eff,
+    }
     return PanelScenario(
         cfg=cfg,
         state=state,
@@ -221,6 +228,7 @@ def save_checkpoint(sc: PanelScenario, gen: int, seed: int, path: str) -> None:
         "mut_rate": sc.cfg.mut_rate,
         "selection": sc.cfg.selection,
         "hap": np.asarray(sc.state["hap"]),
+        "cv": np.asarray(sc.state["cv"]),
         "cv_idx": np.asarray(sc.state["cv_idx"]),
         "eff": np.asarray(sc.state["eff"]),
         "xo_cdf": np.asarray(sc.xo_cdf),
@@ -254,6 +262,7 @@ def load_checkpoint(sc: PanelScenario, seed: int, path: str) -> int:
         )
     sc.state = {
         "hap": jnp.asarray(z["hap"]),
+        "cv": jnp.asarray(z["cv"]),
         "cv_idx": jnp.asarray(z["cv_idx"]),
         "eff": jnp.asarray(z["eff"]),
     }

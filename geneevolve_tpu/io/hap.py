@@ -96,20 +96,23 @@ def _read_hap_native(data: bytes, nl: int) -> np.ndarray | None:
     return np.ascontiguousarray(out.T)
 
 
-def write_hap(path: str | os.PathLike, hap: np.ndarray) -> None:
-    """Write a (2n, m) 0/1 matrix as a SNP-major .hap file.
-
-    Byte-compatible with the reference writer (`format_hap.cpp:6-30`):
-    space after every column including the last.
-    """
+def hap_bytes(hap: np.ndarray) -> bytes:
+    """SNP-major text rows for a (2n, m) 0/1 block, byte-compatible with the
+    reference writer (`format_hap.cpp:6-30`): space after every column
+    including the last. Usable per loci chunk for streamed writes."""
     hap = np.asarray(hap, dtype=np.uint8)
     nhap, nsnp = hap.shape
     out = np.empty((nsnp, 2 * nhap + 1), dtype=np.uint8)
     out[:, 0:-1:2] = hap.T + ord("0")
     out[:, 1:-1:2] = ord(" ")
     out[:, -1] = ord("\n")
+    return out.tobytes()
+
+
+def write_hap(path: str | os.PathLike, hap: np.ndarray) -> None:
+    """Write a (2n, m) 0/1 matrix as a SNP-major .hap file."""
     with open(path, "wb") as f:
-        f.write(out.tobytes())
+        f.write(hap_bytes(hap))
 
 
 def read_legend(path: str | os.PathLike) -> Legend:

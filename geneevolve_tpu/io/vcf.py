@@ -249,6 +249,43 @@ def write_vcf(path: str | os.PathLike, v: VcfData) -> None:
             f.write(tails[j])
 
 
+class VcfStreamWriter:
+    """Record-streaming VCF writer: header up front, then `write_block`
+    per loci chunk — peak memory is one chunk's GT text, never the whole
+    (2n, m) matrix. Same output bytes as `write_vcf`."""
+
+    def __init__(self, path: str | os.PathLike, v: VcfData):
+        self.v = v
+        self.f = _open(path, "w")
+        for line in v.meta_lines:
+            self.f.write(line + "\n")
+        self.f.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT")
+        for s in v.samples:
+            self.f.write("\t" + str(s))
+        self.f.write("\n")
+
+    def write_block(self, lo: int, a: np.ndarray, b: np.ndarray) -> None:
+        """Records [lo, lo + mc) from (n, mc) chromatid allele blocks."""
+        v = self.v
+        tails = _gt_tails(np.ascontiguousarray(a), np.ascontiguousarray(b))
+        for jj in range(a.shape[1]):
+            j = lo + jj
+            self.f.write(
+                f"{v.chrom[j]}\t{v.pos[j]}\t{v.ids[j]}\t{v.ref[j]}\t{v.alt[j]}"
+                f"\t{v.qual[j]}\t{v.filt[j]}\t{v.info[j]}\t{v.fmt[j]}"
+            )
+            self.f.write(tails[jj])
+
+    def close(self) -> None:
+        self.f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 def _gt_tails(a: np.ndarray, b: np.ndarray) -> List[str]:
     """Per-record '\\ta|b...\\n' strings for (n, m) allele matrices."""
     from geneevolve_tpu import native

@@ -76,14 +76,22 @@ def _kernel(
     fat_ref,  # VMEM (1, 2, blk_rows, LANES) uint32: father planes
     mot_ref,  # VMEM (1, 2, blk_rows, LANES) uint32: mother planes
     xo_ref,  # SMEM (1, 2, n_chr, K) int32 crossover loci (global, pad=m)
+    xoc_ref,  # SMEM (1, 2, n_chr) int32 real crossover counts
     st_ref,  # SMEM (1, 2, n_chr) int32 start chromatid
     mu_ref,  # SMEM (1, 2, Km) int32 mutation loci (global, pad=m) | None
+    muc_ref,  # SMEM (1, 2, 1) int32 real mutation counts | None
     out_ref,  # VMEM (1, 2, blk_rows, LANES) uint32: child gametes
     *,
     chr_rows: int,
     K: int,
     blk_rows: int,
 ):
+    # Crossover/mutation slot loops run to the REAL count (scalar-driven
+    # fori_loop over SMEM), not the static cap: counts are ~Poisson(1) per
+    # chromosome, so unconditional cap-length loops made the kernel
+    # VPU-compute-bound (~70 vector ops/word) while the DMAs idled. Padding
+    # slots would contribute zero anyway (pad = m compares past the last
+    # word), so trip-count truncation is bitwise-neutral.
     row0 = pl.program_id(1) * blk_rows
     n_slices = max(1, blk_rows // chr_rows)
     rows = min(blk_rows, chr_rows)
@@ -98,26 +106,36 @@ def _kernel(
             macc = jnp.where(
                 st_ref[0, g, c] == 1, FULL, np.uint32(0)
             ) & jnp.full((rows, LANES), FULL, U32)
-            for k in range(K):
+
+            def xo_body(k, m_acc):
                 x = xo_ref[0, g, c, k]
                 xw = x >> 5
                 partial = jax.lax.shift_left(FULL, (x & 31).astype(U32))
-                macc = macc ^ (
+                return m_acc ^ (
                     jnp.where(widx > xw, FULL, np.uint32(0))
                     | jnp.where(widx == xw, partial, np.uint32(0))
                 )
+
+            macc = jax.lax.fori_loop(
+                0, xoc_ref[0, g, c], xo_body, macc
+            )
             a = ref[0, 0, r0 : r0 + rows, :]
             b = ref[0, 1, r0 : r0 + rows, :]
             child = a ^ (macc & (a ^ b))
             if mu_ref is not None:
-                hit = jnp.zeros((rows, LANES), U32)
-                for k in range(mu_ref.shape[2]):
+
+                def mu_body(k, ch):
                     p = mu_ref[0, g, k]
                     bit = jax.lax.shift_left(
                         np.uint32(1), (p & 31).astype(U32)
                     )
-                    hit = hit ^ jnp.where(widx == (p >> 5), bit, np.uint32(0))
-                child = child ^ hit
+                    return ch ^ jnp.where(
+                        widx == (p >> 5), bit, np.uint32(0)
+                    )
+
+                child = jax.lax.fori_loop(
+                    0, muc_ref[0, g, 0], mu_body, child
+                )
             out_ref[0, g, r0 : r0 + rows, :] = child
 
 
@@ -155,6 +173,10 @@ def meiose_packed_pallas(
     parents = jnp.stack([fathers, mothers], 1).astype(jnp.int32).reshape(-1)
     xo = jnp.stack([xo_p, xo_m], axis=1).astype(jnp.int32)
     st = jnp.stack([st_p, st_m], axis=1).astype(jnp.int32)
+    # real slot counts (pad = m): valid slots are a prefix in the sampler's
+    # layout, so a truncated trip count visits exactly the real slots
+    m_total = mw * 32
+    xo_cnt = jnp.sum(xo < m_total, axis=3).astype(jnp.int32)  # (n, 2, n_chr)
 
     in_specs = [
         pl.BlockSpec(
@@ -174,23 +196,40 @@ def meiose_packed_pallas(
             lambda i, j, ps: (i, 0, 0),
             memory_space=pltpu.SMEM,
         ),
+        pl.BlockSpec(
+            (1, 2, n_chr),
+            lambda i, j, ps: (i, 0, 0),
+            memory_space=pltpu.SMEM,
+        ),
     ]
-    operands = [hap4, hap4, xo, st]
+    operands = [hap4, hap4, xo, xo_cnt, st]
     if mu is not None:
-        in_specs.append(
+        mu = mu.astype(jnp.int32)
+        # (n, 2, 1): SMEM blocks need their last two dims to match the array
+        mu_cnt = jnp.sum(
+            mu < m_total, axis=2, keepdims=True
+        ).astype(jnp.int32)
+        in_specs.extend([
             pl.BlockSpec(
                 (1, 2, mu.shape[2]),
                 lambda i, j, ps: (i, 0, 0),
                 memory_space=pltpu.SMEM,
-            )
-        )
-        operands.append(mu.astype(jnp.int32))
+            ),
+            pl.BlockSpec(
+                (1, 2, 1),
+                lambda i, j, ps: (i, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+        ])
+        operands.extend([mu, mu_cnt])
     kernel = functools.partial(
         _kernel, chr_rows=chr_rows, K=K, blk_rows=blk_rows
     )
     if mu is None:
         kernel = functools.partial(
-            lambda pr, f, m, x, s, o, *, k: k(pr, f, m, x, s, None, o),
+            lambda pr, f, m, x, xc, s, o, *, k: k(
+                pr, f, m, x, xc, s, None, None, o
+            ),
             k=kernel,
         )
 

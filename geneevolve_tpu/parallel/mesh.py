@@ -38,6 +38,7 @@ def state_specs(packed: bool = True) -> dict:
     if packed:
         return {
             "hap": P("ind", None, "loci"),
+            "cv": P("ind", None, None),
             "cv_idx": P(),
             "eff": P(),
         }
@@ -109,9 +110,10 @@ def make_deme_step(cfg, mesh: Mesh, mig_rate: float = 0.0):
     Requires cfg.n % mesh_ind == 0 and cfg.n_chr % mesh_loci == 0."""
     from geneevolve_tpu.dense.packed import (
         PackedConfig,
+        cv_child,
         make_reproduce,
         mutation_positions,
-        popcount_dosage,
+        phenotype_from_cv,
     )
     from geneevolve_tpu.dense.step import _sample_gamete_plan
 
@@ -153,18 +155,9 @@ def make_deme_step(cfg, mesh: Mesh, mig_rate: float = 0.0):
         k_pat, k_mat, k_mu1, k_mu2 = jax.random.split(k_loc, 4)
 
         if cfg.selection:
-            lo = j * m_loc
-            cv_idx = state["cv_idx"]  # global column indices, replicated
-            inrange = (cv_idx >= lo) & (cv_idx < lo + m_loc)
-            idx_loc = jnp.clip(cv_idx - lo, 0, m_loc - 1)
-            t = (
-                popcount_dosage(hap[:, 0], idx_loc)
-                + popcount_dosage(hap[:, 1], idx_loc)
-            ).astype(jnp.float32) * inrange[None, :]
-            p = jnp.mean(t, axis=0) / 2.0  # deme-local allele freqs
-            bv = jax.lax.psum(
-                (t - 2.0 * p[None, :]) @ state["eff"], "loci"
-            )
+            # deme-local phenotype from the resident CV matrix (replicated
+            # along 'loci'); allele freqs are deme-local like the parents
+            bv = phenotype_from_cv(state["cv"], state["eff"])
             z = (bv - jnp.mean(bv)) / (jnp.std(bv) + 1e-9)
             km1, km2 = jax.random.split(k_mate)
             fathers = jax.random.categorical(km1, z, shape=(n_loc,))
@@ -186,6 +179,29 @@ def make_deme_step(cfg, mesh: Mesh, mig_rate: float = 0.0):
                 axis=1,
             )
         child = reproduce(hap, fathers, mothers, xo_p, st_p, xo_m, st_m, mu)
+
+        # advance the CV matrix: each loci shard applies its own local
+        # crossover/mutation plan to the columns it owns, everything else
+        # masked to zero; one small psum over 'loci' reassembles the full
+        # replicated (n_loc, 2, ncv) matrix
+        lo = j * m_loc
+        cv_idx = state["cv_idx"]  # global columns, replicated
+        inrange = (cv_idx >= lo) & (cv_idx < lo + m_loc)
+        idx_loc = jnp.clip(cv_idx - lo, 0, m_loc - 1)
+        parts = []
+        for g, (par, xo, st) in enumerate(
+            ((fathers, xo_p, st_p), (mothers, xo_m, st_m))
+        ):
+            gam = cv_child(
+                state["cv"], par, xo, st,
+                None if mu is None else mu[:, g],
+                idx_loc, cfg_loc.chr_len,
+            )
+            parts.append(gam * inrange[None, :].astype(jnp.uint8))
+        cv = jax.lax.psum(
+            jnp.stack(parts, axis=1).astype(jnp.int32), "loci"
+        ).astype(jnp.uint8)
+
         if n_emig:
             # sample emigrants without replacement with a loci-invariant key
             # (k_mig derives from k_ind), so every loci shard moves the same
@@ -194,8 +210,10 @@ def make_deme_step(cfg, mesh: Mesh, mig_rate: float = 0.0):
             ring = [(s, (s + 1) % ind_n) for s in range(ind_n)]
             incoming = jax.lax.ppermute(child[slots], "ind", ring)
             child = child.at[slots].set(incoming)
+            cv = cv.at[slots].set(jax.lax.ppermute(cv[slots], "ind", ring))
         return {
             "hap": child,
+            "cv": cv,
             "cv_idx": state["cv_idx"],
             "eff": state["eff"],
         }

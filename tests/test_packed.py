@@ -190,3 +190,24 @@ def test_pick_block_rows():
     # sub-chromosome power-of-two splits when one chromosome exceeds the cap
     assert pick_block_rows(2, 1024, max_rows=512) == 512
     assert pick_block_rows(1, 96, max_rows=64) == 48
+
+
+def test_resident_cv_matrix_tracks_planes():
+    """The step maintains state['cv'] incrementally through meiosis; it must
+    stay bitwise equal to re-extracting the CV columns from the packed
+    planes, across generations, with selection and mutation on."""
+    pcfg, _ = _cfgs(selection=True, mut_rate=2.0)
+    state = pk.init_state(jax.random.key(3), pcfg)
+    np.testing.assert_array_equal(
+        np.asarray(state["cv"]),
+        np.asarray(pk.cv_from_planes(state["hap"], state["cv_idx"])),
+    )
+    step = jax.jit(pk.make_step(pcfg))
+    key = jax.random.key(4)
+    for g in range(5):
+        state = step(state, jax.random.fold_in(key, g))
+        np.testing.assert_array_equal(
+            np.asarray(state["cv"]),
+            np.asarray(pk.cv_from_planes(state["hap"], state["cv_idx"])),
+            err_msg=f"generation {g}",
+        )
