@@ -32,6 +32,30 @@ Checkpointing: --checkpoint_every <n> --resume <prefix>.ckpt.npz
 """
 
 
+def _enable_compilation_cache() -> None:
+    """Persist XLA compilations across runs (~20 s of warmup on the Example
+    scenarios is compile time; a warm cache brings total wall time to the
+    reference binary's). Opt out with GE_NO_COMPILE_CACHE=1."""
+    import os
+
+    if os.environ.get("GE_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        cache = os.environ.get(
+            "GE_COMPILE_CACHE",
+            os.path.join(
+                os.path.expanduser("~"), ".cache", "geneevolve_tpu", "xla"
+            ),
+        )
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass  # cache is an optimization, never a requirement
+
+
 def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     if not argv or any(a in ("--help", "-h", "?") for a in argv):
@@ -43,6 +67,7 @@ def main(argv=None) -> int:
     except ConfigError as e:
         print(f"Error: {e}", file=sys.stderr)
         return 1
+    _enable_compilation_cache()
     from geneevolve_tpu.core.engine import Simulation  # defer jax init
 
     sim = Simulation(cfg)
