@@ -110,12 +110,12 @@ def kernel_vs_oracle(use_pallas: bool) -> bool:
     hap = jax.random.bits(ks[0], (cfg.n, 2, cfg.mw), dtype=jnp.uint32)
     fathers = jax.random.randint(ks[1], (cfg.n,), 0, cfg.n)
     mothers = jax.random.randint(ks[2], (cfg.n,), 0, cfg.n)
-    xo_p, st_p = _sample_gamete_plan(ks[3], cfg.as_dense(), cfg.n, None)
-    xo_m, st_m = _sample_gamete_plan(ks[4], cfg.as_dense(), cfg.n, None)
+    xo_p, st_p, _ = _sample_gamete_plan(ks[3], cfg.as_dense(), cfg.n, None)
+    xo_m, st_m, _ = _sample_gamete_plan(ks[4], cfg.as_dense(), cfg.n, None)
     mu = jnp.stack(
         [
-            pk.mutation_positions(ks[5], cfg.n, cfg),
-            pk.mutation_positions(jax.random.fold_in(ks[5], 1), cfg.n, cfg),
+            pk.mutation_positions(ks[5], cfg.n, cfg)[0],
+            pk.mutation_positions(jax.random.fold_in(ks[5], 1), cfg.n, cfg)[0],
         ],
         axis=1,
     )
@@ -186,7 +186,8 @@ def run(n: int, m: int, gens: int, use_pallas: bool, packed: bool) -> float:
         _sync(state)
         ts.append(time.perf_counter() - t0)
     ts.sort()
-    return n * m * gens / ts[len(ts) // 2]
+    clip = int(state.get("clip", 0))
+    return n * m * gens / ts[len(ts) // 2], clip
 
 
 def main() -> None:
@@ -213,9 +214,10 @@ def main() -> None:
         gather_gbps = stream_gbps = -1.0
 
     rate = None
+    clip = 0
     for attempt in range(6):
         try:
-            rate = run(n, m, gens, use_pallas, packed)
+            rate, clip = run(n, m, gens, use_pallas, packed)
             break
         except Exception as e:  # OOM or missing pallas support -> degrade
             msg = str(e)
@@ -266,6 +268,11 @@ def main() -> None:
                 "gens": gens,
                 "pallas": bool(use_pallas),
                 "kernel_oracle_ok": bool(oracle_ok),
+                # truncated Poisson draws across 4*gens warm reps (0 at
+                # defaults; nonzero means xo_cap/mut_cap are undersized)
+                "xo_clip_count": clip,
+                # draws/gen = 2 gametes x (n_chr=8 xo draws + 1 mut draw) x n
+                "xo_clip_rate": clip / (4.0 * gens * n * 18),
             }
         )
     )

@@ -10,7 +10,7 @@ from __future__ import annotations
 import sys
 import time
 
-from geneevolve_tpu.config import ConfigError, parse_args
+from geneevolve_tpu.config import ConfigError, parse_args, print_config
 
 _HELP = """geneevolve-tpu — TPU-native forward-time whole-genome simulator
 
@@ -67,6 +67,7 @@ def main(argv=None) -> int:
     except ConfigError as e:
         print(f"Error: {e}", file=sys.stderr)
         return 1
+    print_config(cfg)
     _enable_compilation_cache()
     from geneevolve_tpu.core.engine import Simulation  # defer jax init
 

@@ -219,6 +219,65 @@ def parse_args(argv: List[str]) -> ScenarioConfig:
     return cfg
 
 
+def _num(v: float) -> str:
+    """C++ default-stream float formatting (6 significant digits, no
+    trailing zeros): '1', '0.5', '-1'."""
+    return f"{v:g}"
+
+
+def print_config(cfg: ScenarioConfig, out=None) -> None:
+    """Echo the parsed configuration at startup, matching
+    `Parameters::print` (`/root/reference/src/parameters.cpp:384-447`)."""
+    import sys
+
+    w = (out or sys.stdout).write
+    onoff = lambda b: "On" if b else "Off"
+    w("\n Options:\n\n")
+    for i, pop in enumerate(cfg.populations, start=1):
+        w(f"  Population {i}:\n")
+        w(f"      --file_gen_info          : [{pop.file_gen_info}]\n")
+        w(f"      --file_hap_name          : [{pop.file_hap_name}]\n")
+        w(f"      --file_ref_vcf           : [{pop.file_ref_vcf}]\n")
+        w(f"      --file_recom_map         : [{pop.file_recom_map}]\n")
+        w(f"      --file_mutation_map      : [{pop.file_mutation_map}]\n")
+        w(f"      --MM                     : [{_num(pop.mm_percent)}]\n")
+        w(f"      --RM                     : [{onoff(pop.rm)}]\n")
+        w(f"      --vt_type                : [{cfg.vt_type}]\n")
+        for j, ph in enumerate(pop.phenotypes, start=1):
+            w(f"      phenotype: {j}\n")
+            w(f"        --file_cv_info         : [{ph.file_cv_info}]\n")
+            w(f"        --file_cvs             : [{ph.file_cvs}]\n")
+            w(f"        --va                   : [{_num(ph.va)}]\n")
+            w(f"        --vd                   : [{_num(ph.vd)}]\n")
+            w(f"        --vc                   : [{_num(ph.vc)}]\n")
+            w(f"        --ve                   : [{_num(ph.ve)}]\n")
+            w(f"        --vf                   : [{_num(ph.vf)}]\n")
+            w(f"        --omega                : [{_num(ph.omega)}]\n")
+            w(f"        --lambda               : [{_num(ph.lambda_)}]\n")
+            w(f"        --beta                 : [{_num(ph.beta)}]\n")
+    w("  Immigration parameters\n")
+    w(f"      --file_migration         : [{cfg.file_migration}]\n")
+    w(
+        "  Environmental effects specific to each population "
+        "(for each phenotype)\n"
+    )
+    for g in cfg.gamma:
+        w(f"      --gamma                  : [{_num(g)}]\n")
+    w("  Output parameters\n")
+    w(f"      --out_hap                : [{onoff(cfg.out_hap)}]\n")
+    w(f"      --out_plink              : [{onoff(cfg.out_plink)}]\n")
+    w(f"      --out_plink01            : [{onoff(cfg.out_plink01)}]\n")
+    w(f"      --out_vcf                : [{onoff(cfg.out_vcf)}]\n")
+    w(f"      --out_interval           : [{onoff(cfg.out_interval)}]\n")
+    w(f"      --file_output_generations: [{cfg.file_output_generations}]\n")
+    w("  Other parameters\n")
+    w(f"      --prefix                 : [{cfg.prefix}]\n")
+    w(f"      --avoid_inbreeding       : [{onoff(cfg.avoid_inbreeding)}]\n")
+    w(f"      --seed                   : [{cfg.seed}]\n")
+    w(f"      --debug                  : [{onoff(cfg.debug)}]\n")
+    w("\n")
+
+
 def validate(cfg: ScenarioConfig) -> None:
     """Same checks as `Parameters::check` (`parameters.cpp:215-382`)."""
     if not cfg.populations or not cfg.populations[0].file_gen_info:

@@ -105,6 +105,7 @@ def init_state(key: jax.Array, cfg: PackedConfig, maf_min: float = 0.05):
         "cv": cv_from_planes(hap, st["cv_idx"]),
         "cv_idx": st["cv_idx"],
         "eff": st["eff"],
+        "clip": jnp.zeros((), jnp.int32),
     }
 
 
@@ -159,6 +160,7 @@ def init_state_streamed(
         "cv": cv_from_planes(hap, cv_idx),
         "cv_idx": cv_idx,
         "eff": eff,
+        "clip": jnp.zeros((), jnp.int32),
     }
 
 
@@ -216,17 +218,18 @@ def meiose_packed_xla(hap, parent, xo, start, cfg: PackedConfig):
     return a ^ (mask & (a ^ b))
 
 
-def mutation_positions(key, n: int, cfg: PackedConfig) -> jax.Array:
+def mutation_positions(key, n: int, cfg: PackedConfig):
     """(n, mut_cap) int32 de novo mutation loci, pad = m (past the last
-    word). Same key schedule as the byte engine's `_apply_mutations`
-    (`dense/step.py`), so both engines flip identical loci."""
+    word), plus the count of Poisson draws truncated at mut_cap. Same key
+    schedule as the byte engine's `_apply_mutations` (`dense/step.py`), so
+    both engines flip identical loci."""
     k1, k2 = jax.random.split(key)
-    counts = jnp.minimum(
-        jax.random.poisson(k1, cfg.mut_rate, (n,)), cfg.mut_cap
-    )
+    raw = jax.random.poisson(k1, cfg.mut_rate, (n,))
+    counts = jnp.minimum(raw, cfg.mut_cap)
     pos = jax.random.randint(k2, (n, cfg.mut_cap), 0, cfg.m)
     valid = jnp.arange(cfg.mut_cap)[None, :] < counts[:, None]
-    return jnp.where(valid, pos, cfg.m).astype(jnp.int32)
+    clip = jnp.sum(raw > cfg.mut_cap, dtype=jnp.int32)
+    return jnp.where(valid, pos, cfg.m).astype(jnp.int32), clip
 
 
 def popcount_dosage(packed: jax.Array, idx: jax.Array) -> jax.Array:
@@ -349,17 +352,15 @@ def make_step(cfg: PackedConfig, xo_cdf=None):
             fathers = jax.random.randint(km1, (n,), 0, n_par)
             mothers = jax.random.randint(km2, (n,), 0, n_par)
 
-        xo_p, st_p = _sample_gamete_plan(k_pat, dense_cfg, n, xo_cdf)
-        xo_m, st_m = _sample_gamete_plan(k_mat, dense_cfg, n, xo_cdf)
+        xo_p, st_p, clip_p = _sample_gamete_plan(k_pat, dense_cfg, n, xo_cdf)
+        xo_m, st_m, clip_m = _sample_gamete_plan(k_mat, dense_cfg, n, xo_cdf)
+        clip = clip_p + clip_m
         mu = None
         if cfg.mut_rate > 0:
-            mu = jnp.stack(
-                [
-                    mutation_positions(k_mu1, n, cfg),
-                    mutation_positions(k_mu2, n, cfg),
-                ],
-                axis=1,
-            )
+            mu_a, clip_a = mutation_positions(k_mu1, n, cfg)
+            mu_b, clip_b = mutation_positions(k_mu2, n, cfg)
+            mu = jnp.stack([mu_a, mu_b], axis=1)
+            clip = clip + clip_a + clip_b
         child = reproduce(hap, fathers, mothers, xo_p, st_p, xo_m, st_m, mu)
         # advance the resident CV matrix through the SAME meiosis law —
         # zero genome-plane traffic for the phenotype path
@@ -379,6 +380,7 @@ def make_step(cfg: PackedConfig, xo_cdf=None):
             "cv": cv,
             "cv_idx": state["cv_idx"],
             "eff": state["eff"],
+            "clip": state.get("clip", 0) + clip,
         }
 
     return step

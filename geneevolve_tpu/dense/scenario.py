@@ -173,6 +173,7 @@ def load_panel(
         "cv": cv_from_planes(hap, cv_idx),
         "cv_idx": cv_idx,
         "eff": eff,
+        "clip": jnp.zeros((), jnp.int32),  # truncated-draw counter
     }
     return PanelScenario(
         cfg=cfg,
@@ -203,6 +204,12 @@ def evolve(
             sc.state = state
             save_checkpoint(sc, g + 1, seed, checkpoint_path)
     jax.block_until_ready(state)
+    clip = int(state.get("clip", 0))
+    if clip:
+        log(
+            f"WARNING: {clip} crossover/mutation Poisson draws were "
+            f"truncated at cap (raise xo_cap/mut_cap)"
+        )
     sc.state = state
     return state
 
@@ -231,6 +238,7 @@ def save_checkpoint(sc: PanelScenario, gen: int, seed: int, path: str) -> None:
         "cv": np.asarray(sc.state["cv"]),
         "cv_idx": np.asarray(sc.state["cv_idx"]),
         "eff": np.asarray(sc.state["eff"]),
+        "clip": np.asarray(sc.state.get("clip", 0)),
         "xo_cdf": np.asarray(sc.xo_cdf),
     }
     buf = _io.BytesIO()
@@ -265,6 +273,7 @@ def load_checkpoint(sc: PanelScenario, seed: int, path: str) -> int:
         "cv": jnp.asarray(z["cv"]),
         "cv_idx": jnp.asarray(z["cv_idx"]),
         "eff": jnp.asarray(z["eff"]),
+        "clip": jnp.asarray(z["clip"] if "clip" in z else 0, jnp.int32),
     }
     return int(z["gen"])
 

@@ -96,7 +96,13 @@ def init_state(key: jax.Array, cfg: DenseConfig, maf_min: float = 0.05):
     hapB = _random_plane(kb, thresh, cfg.n, cfg.m)
     cv_idx = jnp.linspace(0, cfg.m - 1, cfg.ncv).astype(jnp.int32)
     eff = jax.random.normal(k3, (cfg.ncv,), dtype=jnp.float32)
-    return {"hapA": hapA, "hapB": hapB, "cv_idx": cv_idx, "eff": eff}
+    return {
+        "hapA": hapA,
+        "hapB": hapB,
+        "cv_idx": cv_idx,
+        "eff": eff,
+        "clip": jnp.zeros((), jnp.int32),
+    }
 
 
 def _phase_batch(
@@ -127,7 +133,8 @@ def _phase_batch(
 
 def _sample_gamete_plan(key, cfg: DenseConfig, n: int, cdf=None):
     """Per-chromosome crossover columns (n, n_chr, K) — unsorted, pad = m —
-    plus per-chr start chromatids (n, n_chr). Parity counting never needs
+    plus per-chr start chromatids (n, n_chr) and the count of Poisson draws
+    truncated at the cap K. Parity counting never needs
     sorted positions, and the per-chromosome layout is what the Pallas
     kernel's BlockSpec index map slices from SMEM.
 
@@ -139,9 +146,8 @@ def _sample_gamete_plan(key, cfg: DenseConfig, n: int, cdf=None):
     k1, k2, k3 = jax.random.split(key, 3)
     K = cfg.xo_cap
     if cdf is None:
-        counts = jnp.minimum(
-            jax.random.poisson(k1, cfg.morgans_per_chr, (n, cfg.n_chr)), K
-        )  # (n, n_chr)
+        raw = jax.random.poisson(k1, cfg.morgans_per_chr, (n, cfg.n_chr))
+        counts = jnp.minimum(raw, K)  # (n, n_chr)
         u = jax.random.uniform(k2, (n, cfg.n_chr, K))
         offs = (u * cfg.chr_len).astype(jnp.int32)
         base = (jnp.arange(cfg.n_chr) * cfg.chr_len)[None, :, None]
@@ -151,9 +157,8 @@ def _sample_gamete_plan(key, cfg: DenseConfig, n: int, cdf=None):
         hi = cdf[(jnp.arange(cfg.n_chr) + 1) * L - 1]
         lo = jnp.concatenate([jnp.zeros((1,), cdf.dtype), hi[:-1]])
         lam = hi - lo  # (n_chr,) Morgans per chromosome
-        counts = jnp.minimum(
-            jax.random.poisson(k1, lam[None, :], (n, cfg.n_chr)), K
-        )
+        raw = jax.random.poisson(k1, lam[None, :], (n, cfg.n_chr))
+        counts = jnp.minimum(raw, K)
         u = (
             lo[None, :, None]
             + jax.random.uniform(k2, (n, cfg.n_chr, K), dtype=cdf.dtype)
@@ -164,7 +169,12 @@ def _sample_gamete_plan(key, cfg: DenseConfig, n: int, cdf=None):
         ).astype(jnp.int32)
     xo = jnp.where(jnp.arange(K)[None, None, :] < counts[..., None], pos, cfg.m)
     start = jax.random.randint(k3, (n, cfg.n_chr), 0, 2)
-    return xo, start
+    # cap-sizing honesty: count truncated Poisson draws instead of clipping
+    # silently. At default K=16 and human-scale <= 3 Morgans/chr,
+    # P(Poisson > K) < 3e-9 per gamete-chromosome (Chernoff), so this stays
+    # 0 in any realistic run — observable, not assumed.
+    clip = jnp.sum(raw > K, dtype=jnp.int32)
+    return xo, start, clip
 
 
 def _meiose_xla(hapA, hapB, parent, xo, start, cfg: DenseConfig):
@@ -176,11 +186,13 @@ def _meiose_xla(hapA, hapB, parent, xo, start, cfg: DenseConfig):
 
 
 def _apply_mutations(key, gametes, cfg: DenseConfig):
+    """Returns (mutated gametes, count of Poisson draws clipped at mut_cap)."""
     if cfg.mut_rate <= 0:
-        return gametes
+        return gametes, jnp.zeros((), jnp.int32)
     n = gametes.shape[0]
     k1, k2 = jax.random.split(key)
-    counts = jnp.minimum(jax.random.poisson(k1, cfg.mut_rate, (n,)), cfg.mut_cap)
+    raw = jax.random.poisson(k1, cfg.mut_rate, (n,))
+    counts = jnp.minimum(raw, cfg.mut_cap)
     pos = jax.random.randint(k2, (n, cfg.mut_cap), 0, cfg.m)
     valid = jnp.arange(cfg.mut_cap)[None, :] < counts[:, None]
     hit = jnp.zeros_like(gametes)
@@ -189,7 +201,7 @@ def _apply_mutations(key, gametes, cfg: DenseConfig):
     # matches the reference's per-occurrence flip at paint time
     # (`Simulation.cpp:1218-1222`) and the packed engine's XOR masks
     hit = hit.at[rows, pos].add(valid.astype(gametes.dtype)) & 1
-    return gametes ^ hit
+    return gametes ^ hit, jnp.sum(raw > cfg.mut_cap, dtype=jnp.int32)
 
 
 def phenotype_additive(hapA, hapB, cv_idx, eff):
@@ -231,8 +243,8 @@ def make_step(cfg: DenseConfig, xo_cdf=None):
             fathers = jax.random.randint(km1, (n,), 0, n_par)
             mothers = jax.random.randint(km2, (n,), 0, n_par)
 
-        xo_p, st_p = _sample_gamete_plan(k_pat, cfg, n, xo_cdf)
-        xo_m, st_m = _sample_gamete_plan(k_mat, cfg, n, xo_cdf)
+        xo_p, st_p, clip_p = _sample_gamete_plan(k_pat, cfg, n, xo_cdf)
+        xo_m, st_m, clip_m = _sample_gamete_plan(k_mat, cfg, n, xo_cdf)
         if pair_fn is not None:
             childA, childB = pair_fn(
                 hapA, hapB, fathers, mothers, xo_p, st_p, xo_m, st_m
@@ -240,13 +252,14 @@ def make_step(cfg: DenseConfig, xo_cdf=None):
         else:
             childA = _meiose_xla(hapA, hapB, fathers, xo_p, st_p, cfg)
             childB = _meiose_xla(hapA, hapB, mothers, xo_m, st_m, cfg)
-        childA = _apply_mutations(k_mu1, childA, cfg)
-        childB = _apply_mutations(k_mu2, childB, cfg)
+        childA, clip_a = _apply_mutations(k_mu1, childA, cfg)
+        childB, clip_b = _apply_mutations(k_mu2, childB, cfg)
         return {
             "hapA": childA,
             "hapB": childB,
             "cv_idx": state["cv_idx"],
             "eff": state["eff"],
+            "clip": state.get("clip", 0) + clip_p + clip_m + clip_a + clip_b,
         }
 
     return step

@@ -41,12 +41,14 @@ def state_specs(packed: bool = True) -> dict:
             "cv": P("ind", None, None),
             "cv_idx": P(),
             "eff": P(),
+            "clip": P(),
         }
     return {
         "hapA": P("ind", "loci"),
         "hapB": P("ind", "loci"),
         "cv_idx": P(),
         "eff": P(),
+        "clip": P(),
     }
 
 
@@ -167,17 +169,15 @@ def make_deme_step(cfg, mesh: Mesh, mig_rate: float = 0.0):
             fathers = jax.random.randint(km1, (n_loc,), 0, n_loc)
             mothers = jax.random.randint(km2, (n_loc,), 0, n_loc)
 
-        xo_p, st_p = _sample_gamete_plan(k_pat, dense_loc, n_loc)
-        xo_m, st_m = _sample_gamete_plan(k_mat, dense_loc, n_loc)
+        xo_p, st_p, clip_p = _sample_gamete_plan(k_pat, dense_loc, n_loc)
+        xo_m, st_m, clip_m = _sample_gamete_plan(k_mat, dense_loc, n_loc)
+        clip = clip_p + clip_m
         mu = None
         if cfg.mut_rate > 0:
-            mu = jnp.stack(
-                [
-                    mutation_positions(k_mu1, n_loc, cfg_loc),
-                    mutation_positions(k_mu2, n_loc, cfg_loc),
-                ],
-                axis=1,
-            )
+            mu_a, clip_a = mutation_positions(k_mu1, n_loc, cfg_loc)
+            mu_b, clip_b = mutation_positions(k_mu2, n_loc, cfg_loc)
+            mu = jnp.stack([mu_a, mu_b], axis=1)
+            clip = clip + clip_a + clip_b
         child = reproduce(hap, fathers, mothers, xo_p, st_p, xo_m, st_m, mu)
 
         # advance the CV matrix: each loci shard applies its own local
@@ -216,6 +216,9 @@ def make_deme_step(cfg, mesh: Mesh, mig_rate: float = 0.0):
             "cv": cv,
             "cv_idx": state["cv_idx"],
             "eff": state["eff"],
+            # replicated total across the whole mesh
+            "clip": state.get("clip", 0)
+            + jax.lax.psum(clip, ("ind", "loci")),
         }
 
     specs = state_specs(packed=True)

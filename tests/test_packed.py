@@ -41,7 +41,7 @@ def test_packed_meiosis_equals_byte_engine():
     )
     kf, kp = jax.random.split(jax.random.key(3))
     parent = jax.random.randint(kf, (pcfg.n,), 0, pcfg.n)
-    xo, st = _sample_gamete_plan(kp, dcfg, pcfg.n)
+    xo, st, _ = _sample_gamete_plan(kp, dcfg, pcfg.n)
     ref = _meiose_xla(dstate["hapA"], dstate["hapB"], parent, xo, st, dcfg)
     got = pk.meiose_packed_xla(pstate["hap"], parent, xo, st, pcfg)
     np.testing.assert_array_equal(
@@ -130,7 +130,7 @@ def test_mutation_positions_apply_as_single_bit_flips():
     pcfg, _ = _cfgs(mut_rate=1.5, mut_cap=4)
     state = pk.init_state(jax.random.key(2), pcfg)
     key = jax.random.key(11)
-    pos = pk.mutation_positions(key, pcfg.n, pcfg)
+    pos, _ = pk.mutation_positions(key, pcfg.n, pcfg)
     plane = state["hap"][:, 0]
     got = pk.apply_mutations_packed(plane, pos)
     before = np.asarray(pk.unpack_bits(plane, pcfg.m))
@@ -156,12 +156,12 @@ def test_packed_pallas_interpret_matches_xla():
     kf, km, kp, kq, ku = jax.random.split(jax.random.key(5), 5)
     fathers = jax.random.randint(kf, (pcfg.n,), 0, pcfg.n)
     mothers = jax.random.randint(km, (pcfg.n,), 0, pcfg.n)
-    xo_p, st_p = _sample_gamete_plan(kp, dcfg, pcfg.n)
-    xo_m, st_m = _sample_gamete_plan(kq, dcfg, pcfg.n)
+    xo_p, st_p, _ = _sample_gamete_plan(kp, dcfg, pcfg.n)
+    xo_m, st_m, _ = _sample_gamete_plan(kq, dcfg, pcfg.n)
     mu = jnp.stack(
         [
-            pk.mutation_positions(ku, pcfg.n, pcfg),
-            pk.mutation_positions(jax.random.fold_in(ku, 1), pcfg.n, pcfg),
+            pk.mutation_positions(ku, pcfg.n, pcfg)[0],
+            pk.mutation_positions(jax.random.fold_in(ku, 1), pcfg.n, pcfg)[0],
         ],
         axis=1,
     )

@@ -19,7 +19,7 @@ def test_map_aware_crossovers_follow_cdf():
     mass[1:half] = 0.5 / (half - 1)  # chr 1: 0.5 Morgans, first half
     mass[cfg.chr_len + 1 : cfg.chr_len + half] = 2.0 / (half - 1)  # chr 2: 2.0
     cdf = jnp.asarray(np.cumsum(mass), dtype=jnp.float32)
-    xo, st = _sample_gamete_plan(jax.random.key(0), cfg, cfg.n, cdf)
+    xo, st, _ = _sample_gamete_plan(jax.random.key(0), cfg, cfg.n, cdf)
     xon = np.asarray(xo)
     real = xon < cfg.m
     # all real crossovers inside the massy halves

@@ -248,8 +248,8 @@ def main():
     k1, k2, k3, k4 = jax.random.split(jax.random.key(1), 4)
     fathers = jax.random.randint(k1, (n,), 0, n)
     mothers = jax.random.randint(k2, (n,), 0, n)
-    xo_p, st_p = _sample_gamete_plan(k3, cfg.as_dense(), n)
-    xo_m, st_m = _sample_gamete_plan(k4, cfg.as_dense(), n)
+    xo_p, st_p, _ = _sample_gamete_plan(k3, cfg.as_dense(), n)
+    xo_m, st_m, _ = _sample_gamete_plan(k4, cfg.as_dense(), n)
 
     # ---- correctness
     oA = meiose_words_xla(hapA_w, hapB_w, fathers, xo_p, st_p,
