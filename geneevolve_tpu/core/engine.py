@@ -37,7 +37,7 @@ from geneevolve_tpu.utils import telemetry
 
 @partial(
     jax.jit,
-    static_argnames=("s_cap", "m_cap", "xo_cap", "mn_cap"),
+    static_argnames=("s_cap", "m_cap", "xo_cap", "mn_cap", "merge_ibd"),
 )
 def _reproduce_all(
     par_st,  # (nchr, n, 2, S)
@@ -57,6 +57,7 @@ def _reproduce_all(
     m_cap: int,
     xo_cap: int,
     mn_cap: int,
+    merge_ibd: bool = True,
 ):
     """All chromosomes of `reproduce` (`Simulation.cpp:2394-2493`) for all
     children in one compiled call: vmap over the chromosome axis, with the
@@ -75,10 +76,10 @@ def _reproduce_all(
         )
         sh = jax.random.randint(k_sh, (nc, 2), 0, 2)
         st0, hap0, nv0 = segments.meiose(
-            st[father], hp[father], xo_f, sh[:, 0], s_cap
+            st[father], hp[father], xo_f, sh[:, 0], s_cap, merge_ibd
         )
         st1, hap1, nv1 = segments.meiose(
-            st[mother], hp[mother], xo_m, sh[:, 1], s_cap
+            st[mother], hp[mother], xo_m, sh[:, 1], s_cap, merge_ibd
         )
         child_st = jnp.stack([st0, st1], axis=1)
         child_hap = jnp.stack([hap0, hap1], axis=1)
@@ -245,6 +246,10 @@ class Simulation:
         self.mesh = mesh
         if mesh is not None and "ind" not in mesh.axis_names:
             raise SimulationError("mesh must have an 'ind' axis")
+        # .int output needs the crossover-split ledger (reference part
+        # structure, `Simulation.cpp:1582-1639`); otherwise merge
+        # IBD-adjacent boundaries for a smaller ledger
+        self.merge_ibd = not cfg.out_interval
         self._load()
 
     def _pad_n(self, n: int) -> int:
@@ -839,6 +844,7 @@ class Simulation:
                 self.m_cap,
                 self.xo_cap,
                 self.mn_cap,
+                self.merge_ibd,
             )
             # one host sync per generation: the capacity check (sized so
             # this regrows only in pathological runs)
@@ -1005,32 +1011,40 @@ class Simulation:
         for j in range(self.n_pheno):
             cols += [f"ph{j + 1}_{k}" for k in ("A", "D", "G", "C", "E", "F", "P")]
         cols += ["MV", "SV", "SV_f"]
-        with open(path, "w") as f:
-            f.write(" ".join(cols) + "\n")
-            id_cols = [
-                st.ids + 1,
-                st.ped["father"] + 1,
-                st.ped["mother"] + 1,
-                st.ped["ff"] + 1,
-                st.ped["fm"] + 1,
-                st.ped["mf"] + 1,
-                st.ped["mm"] + 1,
-                st.sex,
-            ]
-            val_cols = []
-            for j in range(self.n_pheno):
-                for k in ("A", "D", "G", "C", "E", "F", "P"):
-                    val_cols.append(st.comp[k][j])
-            val_cols += [st.mv, st.sv, st.svf]
-            ids_arr = np.stack(id_cols, axis=1)
-            vals_arr = np.stack(val_cols, axis=1)
-            for i in range(st.n):
-                f.write(
-                    " ".join(str(x) for x in ids_arr[i])
-                    + " "
-                    + " ".join(f"{x:g}" for x in vals_arr[i])
-                    + "\n"
-                )
+        id_cols = [
+            st.ids + 1,
+            st.ped["father"] + 1,
+            st.ped["mother"] + 1,
+            st.ped["ff"] + 1,
+            st.ped["fm"] + 1,
+            st.ped["mf"] + 1,
+            st.ped["mm"] + 1,
+            st.sex,
+        ]
+        val_cols = []
+        for j in range(self.n_pheno):
+            for k in ("A", "D", "G", "C", "E", "F", "P"):
+                val_cols.append(st.comp[k][j])
+        val_cols += [st.mv, st.sv, st.svf]
+        ids_arr = np.stack(id_cols, axis=1).astype(np.int64)
+        vals_arr = np.stack(val_cols, axis=1).astype(np.float64)
+        from geneevolve_tpu import native
+
+        body = native.format_info(ids_arr, vals_arr)
+        with open(path, "wb") as f:
+            f.write((" ".join(cols) + "\n").encode())
+            if body is not None:
+                f.write(body)
+            else:  # pure-Python fallback (GE_NO_NATIVE=1)
+                for i in range(st.n):
+                    f.write(
+                        (
+                            " ".join(str(x) for x in ids_arr[i])
+                            + " "
+                            + " ".join(f"{x:g}" for x in vals_arr[i])
+                            + "\n"
+                        ).encode()
+                    )
 
     def write_summary(self) -> None:
         """`<prefix>.pop<i>.summary` (`Simulation.cpp:782-834`)."""

@@ -214,8 +214,14 @@ def _legend_al1(leg):
 
 def write_interval(sim, gen: int) -> None:
     """IBD ground-truth dump, schema per `ras_write_hap_to_interval_format`
-    (`Simulation.cpp:1582-1639`). Adjacent same-founder segments are merged
-    (IBD-equivalent; the reference keeps crossover-split duplicates)."""
+    (`Simulation.cpp:1582-1639`): `h_ID chr hap st en hap_index gen0_indv
+    root_pop`, 1-based IDs, gen0_indv = founder sample id + `.1/.2`.
+
+    When `--out_interval` is set the engine runs meiosis with
+    `merge_ibd=False` (`core/segments.py:meiose_one`), so the ledger keeps
+    every crossover-split part boundary exactly like the reference's
+    `recombine` (`Simulation.cpp:2903-2958`) — adjacent same-founder rows
+    encode recombination-event positions and are NOT merged."""
     offsets = np.array([p.hap_offset for p in sim.pops])
     indv_ids = [p.indv_ids for p in sim.pops]
     for p in sim.pops:

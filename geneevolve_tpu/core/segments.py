@@ -52,40 +52,45 @@ def pos_dtype():
 
 @dataclass(frozen=True)
 class ChromMaps:
-    """Static per-chromosome map data, device-resident."""
+    """Static per-chromosome map data. Host-side (numpy): only the stacked
+    form (`StackedMaps`) goes to the device, in a handful of batched
+    transfers — per-chromosome transfers would pay the per-dispatch
+    overhead of tunneled single-chip setups ~140 times at 22 chromosomes
+    (measured ~2 s each on axon: a 296 s load)."""
 
     chrom: int
     chr_start: int
     chr_end: int
     bin_width: int
-    bp: jax.Array  # (K,) bin anchors
-    xo_cum: jax.Array  # (K,) cumulative crossover bin mass
+    bp: np.ndarray  # (K,) bin anchors
+    xo_cum: np.ndarray  # (K,) cumulative crossover bin mass
     xo_lambda: float  # total crossover mass (Morgans for this chr)
     # mutation map (empty arrays when absent)
-    mut_bp: jax.Array  # (Km,)
-    mut_cum: jax.Array  # (Km,) cumulative mutation bin mass
+    mut_bp: np.ndarray  # (Km,)
+    mut_cum: np.ndarray  # (Km,) cumulative mutation bin mass
     mut_lambda: float
 
     @staticmethod
     def build(chrom, rmap, mmap=None) -> "ChromMaps":
         p = rmap.prob
+        np_pos = np.int64 if jax.config.jax_enable_x64 else np.int32
         if mmap is not None:
             mrate = mmap.rate.copy()
             mrate[0] = 0.0  # loop starts at bin 1 (`Simulation.cpp:2509`)
-            mut_bp = jnp.asarray(mmap.bp, dtype=pos_dtype())
-            mut_cum = jnp.asarray(np.cumsum(mrate), dtype=jnp.float32)
+            mut_bp = np.asarray(mmap.bp, dtype=np_pos)
+            mut_cum = np.cumsum(mrate).astype(np.float32)
             mut_lambda = float(mrate.sum())
         else:
-            mut_bp = jnp.zeros((2,), dtype=pos_dtype())
-            mut_cum = jnp.zeros((2,), dtype=jnp.float32)
+            mut_bp = np.zeros((2,), dtype=np_pos)
+            mut_cum = np.zeros((2,), dtype=np.float32)
             mut_lambda = 0.0
         return ChromMaps(
             chrom=int(chrom),
             chr_start=int(rmap.bp[0]),
             chr_end=int(rmap.bp[-1]),
             bin_width=int(rmap.bin_width),
-            bp=jnp.asarray(rmap.bp, dtype=pos_dtype()),
-            xo_cum=jnp.asarray(np.cumsum(p), dtype=jnp.float32),
+            bp=np.asarray(rmap.bp, dtype=np_pos),
+            xo_cum=np.cumsum(p).astype(np.float32),
             xo_lambda=float(p.sum()),
             mut_bp=mut_bp,
             mut_cum=mut_cum,
@@ -236,8 +241,16 @@ def meiose_one(
     xo: jax.Array,  # (K,) sorted crossover positions (BIG padded)
     start_hap: jax.Array,  # scalar 0/1
     capacity: int,
+    merge_ibd: bool = True,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """One gamete: returns (child_st (S,), child_hap (S,), n_valid)."""
+    """One gamete: returns (child_st (S,), child_hap (S,), n_valid).
+
+    `merge_ibd=True` coalesces adjacent boundaries that point at the same
+    founder hap — IBD-equivalent and cheaper, but it erases crossover-event
+    positions. `merge_ibd=False` keeps every boundary exactly like the
+    reference's `recombine` part splitting (`Simulation.cpp:2903-2958`),
+    which the `.int` dump (`:1582-1639`) relies on to encode recombination
+    history."""
     S = par_st.shape[1]
     K = xo.shape[0]
     chr_start = par_st[0, 0]  # ledger invariant: first boundary = chr start
@@ -258,20 +271,36 @@ def meiose_one(
     order = jnp.argsort(st, stable=True)
     st = st[order]
     hap = hap[order]
-    # merge adjacent boundaries with identical founder hap (IBD-equivalent)
-    dup = jnp.concatenate(
-        [jnp.zeros((1,), dtype=bool), (hap[1:] == hap[:-1]) & (st[1:] < _big())]
-    )
-    st = jnp.where(dup, _big(), st)
-    order = jnp.argsort(st, stable=True)
-    st = st[order]
-    hap = hap[order]
+    if merge_ibd:
+        # merge adjacent boundaries with identical founder hap
+        dup = jnp.concatenate(
+            [
+                jnp.zeros((1,), dtype=bool),
+                (hap[1:] == hap[:-1]) & (st[1:] < _big()),
+            ]
+        )
+        st = jnp.where(dup, _big(), st)
+        order = jnp.argsort(st, stable=True)
+        st = st[order]
+        hap = hap[order]
+    else:
+        # duplicated positions (the chr start re-listed by both parents'
+        # first boundaries, or a crossover landing exactly on a parent
+        # boundary) would create zero-length parts the reference never
+        # emits; keep the last occurrence of each position
+        last = jnp.concatenate(
+            [(st[1:] != st[:-1]) | (st[1:] >= _big()), jnp.ones((1,), bool)]
+        )
+        st = jnp.where(last, st, _big())
+        order = jnp.argsort(st, stable=True)
+        st = st[order]
+        hap = hap[order]
     n_valid = jnp.sum(st < _big())  # pre-truncation: lets the host detect overflow
     return st[:capacity], hap[:capacity], n_valid
 
 
 # vmap over children: parent rows are pre-gathered per child
-meiose = jax.vmap(meiose_one, in_axes=(0, 0, 0, 0, None))
+meiose = jax.vmap(meiose_one, in_axes=(0, 0, 0, 0, None, None))
 
 
 def inherit_mutations_one(

@@ -33,6 +33,7 @@ def _build() -> bool:
                 "-O3",
                 "-shared",
                 "-fPIC",
+                "-pthread",
                 "-std=c++17",
                 str(_SRC),
                 "-o",
@@ -82,5 +83,43 @@ def load() -> Optional[ctypes.CDLL]:
         lib.gt_format.argtypes = [p8, p8, i64, i64, ctypes.c_void_p]
         lib.ped_format.restype = i64
         lib.ped_format.argtypes = [pc, i64, ctypes.c_void_p]
+        lib.info_format.restype = i64
+        lib.info_format.argtypes = [
+            pi64, i64, i64, ctypes.POINTER(ctypes.c_double), i64,
+            ctypes.c_void_p, i64,
+        ]
+        lib.info_format_mt.restype = i64
+        lib.info_format_mt.argtypes = lib.info_format.argtypes + [i64]
         _lib = lib
         return _lib
+
+
+def format_info(ids, vals) -> Optional[bytes]:
+    """Render the info-file body from (n, k_int) int64 ids and (n, k_val)
+    float64 vals via the C formatter; None when the codec is unavailable
+    (callers fall back to the Python row loop)."""
+    lib = load()
+    if lib is None:
+        return None
+    import numpy as np
+
+    ids = np.ascontiguousarray(ids, dtype=np.int64)
+    vals = np.ascontiguousarray(vals, dtype=np.float64)
+    n, k_int = ids.shape
+    k_val = vals.shape[1]
+    # %lld <= 20 chars + sep; %g <= 13 chars + sep; margin for safety
+    cap = n * (k_int * 22 + k_val * 16 + 2) + 64
+    buf = ctypes.create_string_buffer(cap)
+    written = lib.info_format_mt(
+        ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n,
+        k_int,
+        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        k_val,
+        buf,
+        cap,
+        min(os.cpu_count() or 1, 16),
+    )
+    if written < 0:
+        return None
+    return buf.raw[:written]

@@ -17,7 +17,10 @@
 // All functions return 0 on success, negative error codes otherwise.
 
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 extern "C" {
 
@@ -184,6 +187,79 @@ int64_t gt_format(const uint8_t* hapA, const uint8_t* hapB,
         *p++ = '\n';
     }
     return (int64_t)(p - out);
+}
+
+// Format the per-individual info table body
+// (`Population::ras_save_human_info`, Population.cpp:510-568): per row,
+// k_int integer columns (IDs + sex) then k_val float columns rendered %g
+// (matching Python's f"{x:g}"), space separated, newline terminated.
+// ids is (n, k_int) int64 row-major, vals is (n, k_val) double row-major.
+// Returns bytes written, or -1 if out (capacity cap) would overflow.
+int64_t info_format(const int64_t* ids, int64_t n, int64_t k_int,
+                    const double* vals, int64_t k_val, char* out,
+                    int64_t cap) {
+    char* p = out;
+    const char* end = out + cap;
+    for (int64_t i = 0; i < n; ++i) {
+        const int64_t* idr = ids + i * k_int;
+        const double* vr = vals + i * k_val;
+        for (int64_t j = 0; j < k_int; ++j) {
+            if (end - p < 32) return -1;
+            int w = snprintf(p, 32, j ? " %lld" : "%lld", (long long)idr[j]);
+            if (w < 0) return -1;
+            p += w;
+        }
+        for (int64_t j = 0; j < k_val; ++j) {
+            if (end - p < 40) return -1;
+            int w = snprintf(p, 40, " %g", vr[j]);
+            if (w < 0) return -1;
+            p += w;
+        }
+        if (p >= end) return -1;
+        *p++ = '\n';
+    }
+    return (int64_t)(p - out);
+}
+
+// Multi-threaded info_format: rows are split into `threads` contiguous
+// chunks, each formatted into a private region of `out` sized by the same
+// per-row capacity bound the Python wrapper uses; chunks are then compacted
+// in place. Row content is identical to info_format (formatting is
+// row-local). Returns bytes written or -1 on overflow.
+int64_t info_format_mt(const int64_t* ids, int64_t n, int64_t k_int,
+                       const double* vals, int64_t k_val, char* out,
+                       int64_t cap, int64_t threads) {
+    if (threads < 2 || n < 4096)
+        return info_format(ids, n, k_int, vals, k_val, out, cap);
+    if (threads > 32) threads = 32;
+    int64_t per_row = k_int * 22 + k_val * 16 + 2;  // wrapper's bound
+    if (per_row * n + 64 > cap)
+        return info_format(ids, n, k_int, vals, k_val, out, cap);
+    int64_t chunk = (n + threads - 1) / threads;
+    std::vector<int64_t> written((size_t)threads, 0);
+    std::vector<std::thread> pool;
+    for (int64_t t = 0; t < threads; ++t) {
+        pool.emplace_back([&, t]() {
+            int64_t lo = t * chunk;
+            int64_t hi = lo + chunk < n ? lo + chunk : n;
+            if (lo >= hi) return;
+            written[(size_t)t] = info_format(
+                ids + lo * k_int, hi - lo, k_int, vals + lo * k_val, k_val,
+                out + lo * per_row, (hi - lo) * per_row + 64);
+        });
+    }
+    for (auto& th : pool) th.join();
+    // compact: move each chunk down to the end of the previous one
+    int64_t total = written[0];
+    if (total < 0) return -1;
+    for (int64_t t = 1; t < threads; ++t) {
+        int64_t w = written[(size_t)t];
+        if (w < 0) return -1;
+        if (w == 0) continue;
+        memmove(out + total, out + t * chunk * per_row, (size_t)w);
+        total += w;
+    }
+    return total;
 }
 
 // Format the genotype tail of one PED row: " A A G G ..." for m SNPs with

@@ -1,10 +1,9 @@
-"""A/B parity vs the reference GeneEvolve binary (opt-in: slow, runs the
-reference executable). Enable with GE_PARITY=1; select examples with
-GE_PARITY_ONLY=1,5 (default: 1 and 5 — assortative and random mating).
+"""A/B parity vs the reference GeneEvolve binary. Runs BY DEFAULT in the
+normal pytest suite on Examples 1 and 5 (assortative and random mating,
+~90 s with a warm compile cache); opt out with GE_PARITY=0, select examples
+with GE_PARITY_ONLY=1,5.
 
-    GE_PARITY=1 python -m pytest tests/test_parity.py -q
-
-Full sweep: `python tools/parity.py` (all 10 Example scenarios).
+Full sweep: `python tools/parity.py` (all 10 Example scenarios + VCF).
 """
 
 import os
@@ -19,7 +18,7 @@ REF_BIN = Path("/root/reference/GeneEvolve_Linux")
 
 
 @pytest.mark.skipif(
-    os.environ.get("GE_PARITY") != "1", reason="set GE_PARITY=1 to run"
+    os.environ.get("GE_PARITY") == "0", reason="GE_PARITY=0 opts out"
 )
 @pytest.mark.skipif(not REF_BIN.exists(), reason="reference binary missing")
 def test_summary_parity_vs_reference_binary(tmp_path):

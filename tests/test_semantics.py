@@ -1,0 +1,121 @@
+"""Unit tests for reference semantics no Example scenario exercises
+(VERDICT r2 weak item 5): `--MM` double-spouse mating
+(`Simulation.cpp:2199-2214`), the fixed-offspring law `f` (`:2329-2355`),
+vertical transmission `--vf`/`--vt_type` (`:3107-3134, 648-658`), and the
+`--gamma` offset solver (`:3345-3381`). The A/B counterparts against the
+reference binary live in tools/parity.py (tokens vf/mm/offf/gammig).
+"""
+
+import numpy as np
+import pytest
+
+from geneevolve_tpu.core import mating
+
+
+def _ped(n):
+    ids = np.arange(n, dtype=np.int64)
+    return {k: ids for k in ("father", "mother", "ff", "fm", "mf", "mm")}
+
+
+def test_mm_duplicates_create_dual_spouses():
+    rng = np.random.default_rng(0)
+    n = 2000
+    sex = np.tile([1, 2], n // 2).astype(np.int8)
+    plan = mating.assort_mate(
+        rng, rng.normal(size=n), np.ones(n), sex, _ped(n),
+        mat_cor=0.0, mm_percent=0.4, avoid_inbreeding=False,
+        offspring_dist="p", pop_size=n,
+    )
+    # duplicated entrants -> more couples than one sex's count alone
+    base = n // 2
+    assert plan.n_couples > base * 1.2
+    # both sexes exhibit individuals appearing in two couples
+    f_counts = np.bincount(plan.father_pos)
+    m_counts = np.bincount(plan.mother_pos)
+    assert (f_counts >= 2).sum() > 0 and (m_counts >= 2).sum() > 0
+    # nobody can appear more than twice (one duplication max,
+    # `Simulation.cpp:2199-2214`)
+    assert f_counts.max() <= 2 and m_counts.max() <= 2
+
+
+def test_mm_zero_keeps_everyone_single():
+    rng = np.random.default_rng(1)
+    n = 500
+    sex = np.tile([1, 2], n // 2).astype(np.int8)
+    plan = mating.assort_mate(
+        rng, rng.normal(size=n), np.ones(n), sex, _ped(n),
+        mat_cor=0.0, mm_percent=0.0, avoid_inbreeding=False,
+        offspring_dist="p", pop_size=n,
+    )
+    assert np.bincount(plan.father_pos).max() == 1
+    assert np.bincount(plan.mother_pos).max() == 1
+
+
+def test_offspring_law_f_fixed_plus_remainder():
+    rng = np.random.default_rng(2)
+    n = 1000
+    sex = np.tile([1, 2], n // 2).astype(np.int8)
+    pop_size = 1711  # not a multiple of the couple count
+    plan = mating.assort_mate(
+        rng, rng.normal(size=n), np.ones(n), sex, _ped(n),
+        mat_cor=0.0, mm_percent=0.0, avoid_inbreeding=False,
+        offspring_dist="f", pop_size=pop_size,
+    )
+    sizes = np.bincount(plan.child_couple, minlength=plan.n_couples)
+    nf = pop_size // plan.n_couples
+    # every couple gets nf, a random subset gets one extra
+    assert set(np.unique(sizes)) <= {nf, nf + 1}
+    assert sizes.sum() == pop_size
+    assert (sizes == nf + 1).sum() == pop_size - nf * plan.n_couples
+
+
+def test_vt_type2_var_f_stationary(tmp_path):
+    """vt_type 2 (transmit parental effect, `Simulation.cpp:3129-3133`):
+    with beta adjusted to sqrt(vf/(2 var_F0)) at gen 0 (`:655-658`),
+    var_F stays within a band around vf instead of growing geometrically."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from tools.mkscenario import make_scenario
+
+    from geneevolve_tpu.config import parse_args
+    from geneevolve_tpu.core.engine import Simulation
+
+    root = tmp_path / "sc"
+    flags = make_scenario(
+        str(root), n0=300, pop_size=600, gens=6, nchr=2, ncv=20, seed=5
+    )
+    for vt in (1, 2):
+        argv = []
+        for k, v in flags.items():
+            argv += [f"--{k}", v]
+        argv += [
+            "--seed", "11", "--prefix", str(tmp_path / f"o{vt}"),
+            "--vf", "0.8", "--vt_type", str(vt),
+        ]
+        sim = Simulation(parse_args(argv), verbose=False)
+        sim.run()
+        var_f = sim.pops[0].traj["var_F"][0]
+        assert abs(var_f[0] - 0.8) < 0.25, (vt, var_f[0])  # gen0 ~ N(0, vf)
+        # bounded thereafter (the unadjusted-beta law would give
+        # var_F ~ vf * 2^g by gen 6)
+        assert np.all(var_f[1:] < 4 * 0.8), (vt, var_f)
+        assert np.mean(var_f[1:]) > 0.1, (vt, var_f)
+
+
+def test_gamma_offset_inflates_combined_variance():
+    from geneevolve_tpu.core.phenotype import (
+        gamma_offsets,
+        solve_gamma_offset,
+        var,
+    )
+
+    rng = np.random.default_rng(3)
+    pops = [rng.normal(0, 1, 800), rng.normal(0.2, 1.1, 900)]
+    gamma = 0.5
+    a = solve_gamma_offset(pops, gamma)
+    offs = gamma_offsets(2, a)
+    combined = np.concatenate([p + o for p, o in zip(pops, offs)])
+    base = np.concatenate(pops)
+    assert abs(var(combined) / var(base) - (1 + gamma)) < 1e-3

@@ -202,6 +202,159 @@ def run_example(i: int, exdir: str, ref_bin: str, workdir: str, report: dict) ->
     return all_ok
 
 
+def _read_info(path: str) -> dict:
+    """{column: list} from a per-individual .info file (either version)."""
+    with open(path) as f:
+        hdr = f.readline().split()
+        rows = [line.split() for line in f if line.strip()]
+    return {h: [r[i] for r in rows] for i, h in enumerate(hdr)}
+
+
+def _dual_spouse_rate(info: dict) -> float:
+    """Fraction of fathers (of this generation's children) with more than
+    one distinct spouse — the observable consequence of `--MM`
+    (`Simulation.cpp:2199-2214`: gated individuals are duplicated into the
+    mating pool, so they can be rank-matched to two partners)."""
+    spouses: dict = {}
+    for f_, m_ in zip(info["ID_Father"], info["ID_Mother"]):
+        spouses.setdefault(f_, set()).add(m_)
+    if not spouses:
+        return 0.0
+    return sum(1 for s in spouses.values() if len(s) > 1) / len(spouses)
+
+
+def _household_sizes(info: dict) -> np.ndarray:
+    """Children per (father, mother) couple."""
+    counts: dict = {}
+    for f_, m_ in zip(info["ID_Father"], info["ID_Mother"]):
+        counts[(f_, m_)] = counts.get((f_, m_), 0) + 1
+    return np.array(sorted(counts.values()))
+
+
+def run_semantics(tok: str, exdir: str, ref_bin: str, workdir: str,
+                  report: dict) -> bool:
+    """A/B scenarios for reference semantics no Example exercises:
+    `--vf` vertical transmission (`Simulation.cpp:3107-3134`), `--MM`
+    double-spouse mating (`:2199-2214`), fixed-offspring law `f`
+    (`:2338-2355`), and `--gamma` + `--file_migration` two-population runs
+    (`:3345-3381, 877-989`). All run on the Example panel (3 chr x 1,000
+    SNPs, 3,000 founders) with seed 12345; the v1.1.0 binary supports every
+    flag used here (checked against its --help)."""
+    base = [
+        "--file_hap_name", "par.pop1.hap_sample_address.txt",
+        "--file_recom_map", "Recom.Map.b37.50KbDiff",
+        "--file_cv_info", "cv.info",
+        "--file_cvs", "par.pop1.cv_hap_files.txt",
+        "--seed", "12345",
+    ]
+    gens = 10
+    geninfo = "ex1.popinfo.txt"
+    extra: list = []
+    npop = 1
+    if tok == "vf":
+        extra = ["--vf", "0.5"]
+    elif tok == "mm":
+        extra = ["--MM", "0.3"]
+    elif tok == "offf":
+        # rewrite the schedule with the fixed-offspring law
+        gens = 5
+        geninfo = os.path.join(workdir, "offf.popinfo.txt")
+        with open(geninfo, "w") as f:
+            f.write(
+                "pop_size mat_cor offspring_dist selection_func "
+                "selection_func_par1 selection_func_par2\n"
+            )
+            for _ in range(gens):
+                f.write("3000 0 f thr 1 1\n")
+    elif tok == "gammig":
+        npop = 2
+        mig = os.path.join(workdir, "gammig.mig.txt")
+        with open(mig, "w") as f:
+            for _ in range(gens):
+                f.write("0.9 0.1 0.1 0.9\n")
+        extra = (
+            ["--next_population", "--file_gen_info", "ex1.popinfo.txt"]
+            + base[:-2]  # second pop: same panel files, no extra seed
+            + ["--gamma", "0.5", "--file_migration", mig]
+        )
+    else:
+        raise ValueError(tok)
+
+    argv = ["--file_gen_info", geninfo] + base + extra
+    ref_prefix = os.path.join(workdir, f"ref.{tok}")
+    our_prefix = os.path.join(workdir, f"ours.{tok}")
+    print(f"== semantics[{tok}]: running reference binary ...", flush=True)
+    subprocess.run(
+        [ref_bin] + for_ref_binary(argv) + ["--prefix", ref_prefix],
+        cwd=exdir, check=True, capture_output=True, timeout=1800,
+    )
+    print(f"== semantics[{tok}]: running geneevolve_tpu ...", flush=True)
+    rc = run_ours(argv + ["--prefix", our_prefix], exdir)
+    if rc != 0:
+        print(f"semantics[{tok}]: our CLI failed rc={rc}")
+        return False
+
+    all_ok = True
+    for pop in range(1, npop + 1):
+        ref_cols = read_summary(f"{ref_prefix}.pop{pop}.summary")
+        our_cols = read_summary(f"{our_prefix}.pop{pop}.summary")
+        checks = compare(ref_cols, our_cols)
+
+        if tok == "vf":
+            # VERSION SKEW: the shipped v1.1.0 binary predates the v1.5.0
+            # gen-0 beta adjustment (`Simulation.cpp:648-658`) — its var_F
+            # explodes geometrically (observed: gen0 1.04, mean 2.6e3 for
+            # vf=0.5), so var_F/var_P/h2 cannot be A/B'd against it. The
+            # binary-side checks stop at the genetics (var_A/D/E, above);
+            # var_F is checked against the v1.5.0 SOURCE law instead:
+            # gen0 F ~ N(0, sqrt(vf)) (`:3095-3096`) and, with beta =
+            # sqrt(vf/(2 var_P0)), steady-state var_F ~= vf.
+            vf_target = 0.5
+            checks = [c for c in checks if "var_P" not in c[0] and "h2" not in c[0]]
+            oF = find_col(our_cols, "ph1_var_F", "var_F")
+            checks.append((
+                "gen0 var_F ~ vf (v1.5.0 law)", vf_target, float(oF[0]),
+                0.15,
+                bool(abs(oF[0] - vf_target) / vf_target <= 0.15),
+            ))
+            om = float(np.mean(oF[1:]))
+            checks.append((
+                "steady var_F ~ vf (v1.5.0 law)", vf_target, om, 0.5,
+                bool(abs(om - vf_target) / vf_target <= 0.5),
+            ))
+        if tok == "mm":
+            ri = _read_info(f"{ref_prefix}.info.pop{pop}.gen{gens}.txt")
+            oi = _read_info(f"{our_prefix}.info.pop{pop}.gen{gens}.txt")
+            rr, oo = _dual_spouse_rate(ri), _dual_spouse_rate(oi)
+            checks.append((
+                "dual-spouse rate", rr, oo, 0.05, bool(abs(oo - rr) <= 0.05)
+            ))
+        if tok == "offf":
+            ri = _read_info(f"{ref_prefix}.info.pop{pop}.gen{gens}.txt")
+            oi = _read_info(f"{our_prefix}.info.pop{pop}.gen{gens}.txt")
+            rh, oh = _household_sizes(ri), _household_sizes(oi)
+            # the fixed law yields exactly two support points nf/nf+1
+            checks.append((
+                "household support", len(np.unique(rh)), len(np.unique(oh)),
+                0, bool(len(np.unique(oh)) <= 2 and len(np.unique(rh)) <= 2),
+            ))
+            checks.append((
+                "household nf", float(np.min(rh)), float(np.min(oh)), 0,
+                bool(np.min(rh) == np.min(oh)),
+            ))
+            checks.append((
+                "mean household", float(np.mean(rh)), float(np.mean(oh)),
+                0.05,
+                bool(abs(np.mean(oh) - np.mean(rh)) / np.mean(rh) <= 0.05),
+            ))
+        report.setdefault("checks", []).extend(
+            {"pop": pop, "name": n, "ref": r, "ours": o, "tol": t, "ok": k}
+            for n, r, o, t, k in checks
+        )
+        all_ok &= print_checks(pop, checks)
+    return all_ok
+
+
 def _vcf_to_hap_panel(exdir: str, address_file: str, outdir: str) -> dict:
     """Convert a VCF founder panel to hap/legend/indv and write the
     `chr hap legend sample` address file the reference binary's hap path
@@ -396,6 +549,7 @@ def main() -> int:
             z.extractall(tmp)
         exdir = os.path.join(tmp, "Examples")
     workdir = args.workdir or tempfile.mkdtemp(prefix="ge_parity_out_")
+    os.makedirs(workdir, exist_ok=True)
 
     results = {}
     reports = {}
@@ -405,6 +559,8 @@ def main() -> int:
         try:
             if tok == "vcf":
                 good = run_vcf_example(args.ref_bin, workdir, report)
+            elif tok in ("vf", "mm", "offf", "gammig"):
+                good = run_semantics(tok, exdir, args.ref_bin, workdir, report)
             else:
                 good = run_example(int(tok), exdir, args.ref_bin, workdir, report)
         except subprocess.CalledProcessError as e:
