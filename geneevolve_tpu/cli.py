@@ -69,6 +69,9 @@ def main(argv=None) -> int:
         return 1
     print_config(cfg)
     _enable_compilation_cache()
+    from geneevolve_tpu.parallel.multihost import maybe_init_distributed
+
+    maybe_init_distributed()  # no-op unless a coordinator is configured
     from geneevolve_tpu.core.engine import Simulation  # defer jax init
 
     sim = Simulation(cfg)

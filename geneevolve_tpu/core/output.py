@@ -103,30 +103,57 @@ def _load_founder_chr(sim, ic: int):
     return legends, np.concatenate(panels, axis=0)
 
 
+def _host_rows(sim, st) -> "np.ndarray | None":
+    """Rows of this population this HOST writes: all of them in
+    single-process runs (None = no slicing, reference-identical files);
+    under `jax.distributed`, only the rows whose shards live on this
+    host's devices — each host streams its own `.hostK.*` files
+    (SURVEY §2.4 multi-host I/O row)."""
+    from geneevolve_tpu.parallel import multihost
+
+    if multihost.process_info()[1] == 1:
+        return None
+    ranges = multihost.host_row_ranges(st.seg_st, axis=1)
+    rows = np.concatenate(
+        [np.arange(lo, min(hi, st.n)) for lo, hi in ranges]
+        or [np.arange(0)]
+    )
+    return rows
+
+
 def save_genotypes(sim, gen: int) -> None:
+    from geneevolve_tpu.parallel import multihost
+
     cfg = sim.cfg
+    suffix = multihost.host_suffix()
     want_paint = cfg.out_hap or cfg.out_plink or cfg.out_plink01 or cfg.out_vcf
     if want_paint:
         for ic, chrom in enumerate(sim.chrs):
             legends, founder = _load_founder_chr(sim, ic)
             for p in sim.pops:
                 st = p.state
-                base = f"{cfg.prefix}.pop{p.index + 1}.gen{gen}.chr{chrom}"
+                base = (
+                    f"{cfg.prefix}.pop{p.index + 1}.gen{gen}.chr{chrom}"
+                    f"{suffix}"
+                )
                 leg = legends[p.index]
                 pos = _legend_pos(leg)
                 m = len(pos)
+                rows = _host_rows(sim, st)
 
                 # SNP-major formats (.hap, VCF) stream loci chunk by chunk:
                 # paint on device, write, drop — peak host memory is one
                 # (n, 2, chunk) block, never (n, 2, m)
+                ids_out = st.ids if rows is None else st.ids[rows]
+                n_out = len(ids_out)
                 hap_f = None
                 vcf_w = None
                 if cfg.out_hap:
                     hap_f = open(base + ".hap", "wb")
-                    hap_io.write_indv(base + ".indv", st.ids + 1)
+                    hap_io.write_indv(base + ".indv", ids_out + 1)
                 if cfg.out_vcf:
                     v = vcf_io.VcfData(
-                        samples=[f"g{gen}_{i + 1}" for i in st.ids],
+                        samples=[f"g{gen}_{i + 1}" for i in ids_out],
                         chrom=np.full(m, str(chrom), dtype=object),
                         pos=pos,
                         ids=_legend_ids(leg),
@@ -147,13 +174,20 @@ def save_genotypes(sim, gen: int) -> None:
                 need_full = cfg.out_plink or cfg.out_plink01 or cfg.debug
                 full_blocks = [] if need_full else None
                 if hap_f or vcf_w or need_full:
-                    for lo, blk in paint_chunks(
-                        st.seg_st[ic, : st.n], st.seg_hap[ic, : st.n],
-                        st.mut[ic, : st.n], founder, pos,
-                    ):
+                    if rows is None:
+                        sel = (
+                            st.seg_st[ic, : st.n], st.seg_hap[ic, : st.n],
+                            st.mut[ic, : st.n],
+                        )
+                    else:
+                        sel = (
+                            st.seg_st[ic, rows], st.seg_hap[ic, rows],
+                            st.mut[ic, rows],
+                        )
+                    for lo, blk in paint_chunks(*sel, founder, pos):
                         if hap_f is not None:
                             hap_f.write(
-                                hap_io.hap_bytes(blk.reshape(st.n * 2, -1))
+                                hap_io.hap_bytes(blk.reshape(n_out * 2, -1))
                             )
                         if vcf_w is not None:
                             vcf_w.write_block(lo, blk[:, 0], blk[:, 1])
@@ -173,12 +207,13 @@ def save_genotypes(sim, gen: int) -> None:
                         for af in painted[:, :, -10:].mean(axis=(0, 1)):
                             print(f"AF = {af:g}")
                 if cfg.out_plink or cfg.out_plink01:
+                    r = slice(None) if rows is None else rows
                     ids = plink_io.PedIds(
-                        fid=st.ped["father"] + 1,  # FID = father (`Simulation.cpp:1396`)
-                        iid=st.ids + 1,
-                        pid=st.ped["father"] + 1,
-                        mid=st.ped["mother"] + 1,
-                        sex=st.sex,
+                        fid=st.ped["father"][r] + 1,  # FID = father (`Simulation.cpp:1396`)
+                        iid=ids_out + 1,
+                        pid=st.ped["father"][r] + 1,
+                        mid=st.ped["mother"][r] + 1,
+                        sex=st.sex[r],
                     )
                     geno = np.moveaxis(painted, 1, 2)  # (n, m, 2)
                     plink_io.write_ped_map(
@@ -222,19 +257,27 @@ def write_interval(sim, gen: int) -> None:
     every crossover-split part boundary exactly like the reference's
     `recombine` (`Simulation.cpp:2903-2958`) — adjacent same-founder rows
     encode recombination-event positions and are NOT merged."""
+    from geneevolve_tpu.parallel import multihost
+
+    suffix = multihost.host_suffix()
     offsets = np.array([p.hap_offset for p in sim.pops])
     indv_ids = [p.indv_ids for p in sim.pops]
     for p in sim.pops:
         st = p.state
+        rows = _host_rows(sim, st)
+        row_iter = range(st.n) if rows is None else rows
         for ic, chrom in enumerate(sim.chrs):
-            path = f"{sim.cfg.prefix}.pop{p.index + 1}.gen{gen}.chr{chrom}.int"
+            path = (
+                f"{sim.cfg.prefix}.pop{p.index + 1}.gen{gen}.chr{chrom}"
+                f"{suffix}.int"
+            )
             seg_st = np.asarray(st.seg_st[ic])  # (n, 2, S)
             seg_hap = np.asarray(st.seg_hap[ic])
             chr_end = p.maps[ic].chr_end
             with open(path, "w") as f:
                 f.write("h_ID chr hap st en hap_index gen0_indv root_pop\n")
                 big = int(segments._big())
-                for i in range(st.n):
+                for i in row_iter:
                     for h in range(2):
                         sts = seg_st[i, h]
                         valid = sts < big

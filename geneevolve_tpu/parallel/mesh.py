@@ -85,7 +85,8 @@ def make_sharded_step(cfg, mesh: Mesh):
     return jax.jit(step, in_shardings=in_shardings, out_shardings=out_shardings)
 
 
-def make_deme_step(cfg, mesh: Mesh, mig_rate: float = 0.0):
+def make_deme_step(cfg, mesh: Mesh, mig_rate: float = 0.0,
+                   mig_matrix=None):
     """Deme-mode sharded generation step (shard_map over the mesh).
 
     Each individuals-shard is a *deme*: children pick parents within their
@@ -108,6 +109,18 @@ def make_deme_step(cfg, mesh: Mesh, mig_rate: float = 0.0):
     `tests/test_statistics.py`); with mig_rate=0 each deme drifts at
     Ne = n/ind_n. This is the linear-weak-scaling configuration; panmictic
     exact mode is `make_sharded_step`.
+
+    `mig_matrix`: optional (D, D) row-stochastic matrix (D = number of
+    demes) generalizing the ring — the reference's arbitrary migration
+    matrix (`Simulation.cpp:877-989`: counts = round(m_ij * n_i), emigrants
+    sampled without replacement) mapped onto fixed-size demes: deme i sends
+    k_ij = round(m_ij * n_deme) children to deme j through ONE
+    `all_to_all` over 'ind'; arrivals replace randomly chosen residents.
+    Counts are static (compile-time), so the exchange is a fixed-shape
+    (D, k_pad, ...) tensor transpose on the ICI — no host round trips.
+    Unbalanced matrices (sum_i k_ij != sum_j k_ij) keep deme sizes fixed by
+    construction; the reference's physically-moving semantics are recovered
+    exactly when the matrix is balanced (every ring/island matrix is).
 
     Requires cfg.n % mesh_ind == 0 and cfg.n_chr % mesh_loci == 0."""
     from geneevolve_tpu.dense.packed import (
@@ -146,6 +159,32 @@ def make_deme_step(cfg, mesh: Mesh, mig_rate: float = 0.0):
     n_emig = int(round(mig_rate * n_loc)) if ind_n > 1 else 0
     if not 0 <= n_emig <= n_loc:
         raise ValueError(f"mig_rate {mig_rate} out of range")
+    counts = None
+    if mig_matrix is not None:
+        if n_emig:
+            raise ValueError("give either mig_rate or mig_matrix, not both")
+        M = np.asarray(mig_matrix, dtype=np.float64)
+        if M.shape != (ind_n, ind_n):
+            raise ValueError(f"mig_matrix must be ({ind_n}, {ind_n})")
+        if np.any(np.abs(M.sum(axis=1) - 1.0) > 1e-5):
+            raise ValueError("mig_matrix rows must sum to 1")
+        counts = np.round(M * n_loc).astype(np.int32)
+        np.fill_diagonal(counts, 0)  # stayers are not exchanged
+        if counts.sum(axis=1).max() > n_loc:
+            raise ValueError("mig_matrix emigrates more than a whole deme")
+        k_pad = max(int(counts.max()), 1)
+        send_off = np.concatenate(
+            [np.zeros((ind_n, 1), np.int32),
+             np.cumsum(counts, axis=1, dtype=np.int32)[:, :-1]],
+            axis=1,
+        )  # send_off[i, j]: offset of the i->j emigrants in deme i's perm
+        recv_total = counts.sum(axis=0).astype(np.int32)  # arrivals per deme
+        # ordinal of arrival (i, s) within deme j's replacement slots
+        recv_off = np.concatenate(
+            [np.zeros((1, ind_n), np.int32),
+             np.cumsum(counts, axis=0, dtype=np.int32)[:-1, :]],
+            axis=0,
+        )
 
     def local_step(state, key):
         i = jax.lax.axis_index("ind")
@@ -211,6 +250,32 @@ def make_deme_step(cfg, mesh: Mesh, mig_rate: float = 0.0):
             incoming = jax.lax.ppermute(child[slots], "ind", ring)
             child = child.at[slots].set(incoming)
             cv = cv.at[slots].set(jax.lax.ppermute(cv[slots], "ind", ring))
+        if counts is not None:
+            # general row-stochastic migration as one all_to_all transpose:
+            # deme i's slot j carries its k_ij emigrants (k_pad-padded);
+            # after the exchange, entry [i] holds deme i's arrivals here.
+            cnt = jnp.asarray(counts)
+            soff = jnp.asarray(send_off)
+            roff = jnp.asarray(recv_off)
+            perm = jax.random.permutation(k_mig, n_loc)  # loci-invariant
+            lane = jnp.arange(k_pad)[None, :]
+            s_idx = soff[i][:, None] + lane  # (D, k_pad) into perm
+            rows = perm[jnp.clip(s_idx, 0, n_loc - 1)]
+            recv_hap = jax.lax.all_to_all(child[rows], "ind", 0, 0)
+            recv_cv = jax.lax.all_to_all(cv[rows], "ind", 0, 0)
+            # arrivals replace the departed slots first (perm order), then
+            # further residents when inflow exceeds outflow
+            valid = lane < cnt[:, i][:, None]  # (D, k_pad) arrivals from i
+            ord_ = roff[:, i][:, None] + lane
+            slot = jnp.where(
+                valid, perm[jnp.clip(ord_, 0, n_loc - 1)], n_loc
+            ).ravel()  # n_loc = out of bounds -> dropped
+            child = child.at[slot].set(
+                recv_hap.reshape(-1, *child.shape[1:]), mode="drop"
+            )
+            cv = cv.at[slot].set(
+                recv_cv.reshape(-1, *cv.shape[1:]), mode="drop"
+            )
         return {
             "hap": child,
             "cv": cv,
