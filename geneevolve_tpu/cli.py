@@ -72,9 +72,12 @@ def main(argv=None) -> int:
     from geneevolve_tpu.parallel.multihost import maybe_init_distributed
 
     maybe_init_distributed()  # no-op unless a coordinator is configured
-    from geneevolve_tpu.core.engine import Simulation  # defer jax init
+    if cfg.backend == "dense":
+        from geneevolve_tpu.dense.backend import DenseSimulation as Sim
+    else:
+        from geneevolve_tpu.core.engine import Simulation as Sim  # defer jax init
 
-    sim = Simulation(cfg)
+    sim = Sim(cfg)
     sim.run()
     print(f" Total time: {time.time() - t0:.1f} s")
     return 0

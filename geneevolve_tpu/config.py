@@ -69,6 +69,9 @@ class ScenarioConfig:
     checkpoint_every: int = 0  # write <prefix>.ckpt.npz every N generations
     resume: str = ""  # checkpoint file to restore and continue from
     device_mating: bool = False  # run mate pairing on device (XLA collectives)
+    backend: str = "segment"  # genome backend: segment (reference-parity
+    # interval ledger) | dense (materialized bit-packed planes, the
+    # flagship-throughput path; single population, no .int output)
 
     @property
     def n_pop(self) -> int:
@@ -184,6 +187,8 @@ def parse_args(argv: List[str]) -> ScenarioConfig:
             cfg.resume = take_value(a)
         elif a == "--device_mating":
             cfg.device_mating = True
+        elif a == "--backend":
+            cfg.backend = take_value(a)
         elif a in ("--help", "-h", "?", "nothing"):
             pass
         else:
@@ -320,3 +325,22 @@ def validate(cfg: ScenarioConfig) -> None:
         raise ConfigError(
             "with more than one population, [--file_migration] is required"
         )
+    if cfg.backend not in ("segment", "dense"):
+        raise ConfigError("[--backend] must be 'segment' or 'dense'")
+    if cfg.backend == "dense":
+        if cfg.n_pop > 1:
+            raise ConfigError(
+                "[--backend dense] supports a single population "
+                "(use the segment backend for multi-population runs)"
+            )
+        if cfg.out_interval:
+            raise ConfigError(
+                "[--backend dense] has no segment ledger; --out_interval "
+                "needs the segment backend"
+            )
+        if cfg.checkpoint_every or cfg.resume:
+            raise ConfigError(
+                "[--backend dense] checkpointing is available through the "
+                "dense scenario pipeline (geneevolve_tpu.dense.scenario); "
+                "use the segment backend for checkpointed CLI runs"
+            )

@@ -503,41 +503,54 @@ class Simulation:
     # ------------------------------------------------------------------ gen0
     def init_generation0(self) -> None:
         for p in self.pops:
-            n = p.n_founders
-            chr_starts = np.array([m.chr_start for m in p.maps])
-            seg_st, seg_hap = segments.init_gen0_ledger_stacked(
-                n, chr_starts, p.hap_offset, self.s_cap
-            )
-            mut = segments.empty_mutations_stacked(
-                len(self.chrs), n, self.m_cap
-            )
-            seg_st = self._put(seg_st)
-            seg_hap = self._put(seg_hap)
-            mut = self._put(mut)
-            rng_sex = np.random.default_rng(
-                np_seed(self.cfg.seed, 0, Stage.INIT_SEX, p.index)
-            )
-            ids = np.arange(n, dtype=np.int64)
-            p.state = PopState(
-                n=n,
-                seg_st=seg_st,
-                seg_hap=seg_hap,
-                mut=mut,
-                sex=rng_sex.integers(1, 3, size=n).astype(np.int8),
-                ids=ids,
-                ped={k: ids.copy() for k in ("father", "mother", "ff", "fm",
-                                              "mf", "mm")},
-                comp={},
-                mv=np.zeros(n),
-                sv=np.zeros(n),
-                svf=np.ones(n),
-            )
+            p.state = self._init_gen0_state(p)
+        self._init_gen0_phenotypes()
+
+    def _gen0_host_fields(self, p: PopRuntime, n: int) -> dict:
+        """Founder sex/ids/pedigree (self-parent IDs,
+        `ras_initial_human_gen0`, `Simulation.cpp:3036-3044`) — shared by
+        every genome backend."""
+        rng_sex = np.random.default_rng(
+            np_seed(self.cfg.seed, 0, Stage.INIT_SEX, p.index)
+        )
+        ids = np.arange(n, dtype=np.int64)
+        return dict(
+            n=n,
+            sex=rng_sex.integers(1, 3, size=n).astype(np.int8),
+            ids=ids,
+            ped={k: ids.copy() for k in ("father", "mother", "ff", "fm",
+                                          "mf", "mm")},
+            comp={},
+            mv=np.zeros(n),
+            sv=np.zeros(n),
+            svf=np.ones(n),
+        )
+
+    def _init_gen0_state(self, p: PopRuntime) -> PopState:
+        """Backend hook: founder genome state (segment-ledger form here)."""
+        n = p.n_founders
+        chr_starts = np.array([m.chr_start for m in p.maps])
+        seg_st, seg_hap = segments.init_gen0_ledger_stacked(
+            n, chr_starts, p.hap_offset, self.s_cap
+        )
+        mut = segments.empty_mutations_stacked(
+            len(self.chrs), n, self.m_cap
+        )
+        return PopState(
+            seg_st=self._put(seg_st),
+            seg_hap=self._put(seg_hap),
+            mut=self._put(mut),
+            **self._gen0_host_fields(p, n),
+        )
+
+    def _init_gen0_phenotypes(self) -> None:
+        for p in self.pops:
             # A/D, then phenotype assembly with gen-0 conventions
             A_raw, D_raw = self._compute_ad(p)
             p.var_a_gen0 = np.array([phenotype.var(A_raw[j]) for j in range(self.n_pheno)])
             p.var_d_gen0 = np.array([phenotype.var(D_raw[j]) for j in range(self.n_pheno)])
-            p.prev_phen = np.zeros((self.n_pheno, n))
-            p.prev_F = np.zeros((self.n_pheno, n))
+            p.prev_phen = np.zeros((self.n_pheno, p.state.n))
+            p.prev_F = np.zeros((self.n_pheno, p.state.n))
             self._assemble_phenotypes(p, gen=0, A_raw=A_raw, D_raw=D_raw, plan=None)
         self._apply_gamma()
         for p in self.pops:
@@ -864,6 +877,19 @@ class Simulation:
                 f"      [capacity grow] S={self.s_cap} M={self.m_cap}"
             )
 
+        return PopState(
+            seg_st=self._put(seg_st),
+            seg_hap=self._put(seg_hap),
+            mut=self._put(mut),
+            **self._child_host_fields(p, gen, plan),
+        )
+
+    def _child_host_fields(self, p: PopRuntime, gen: int,
+                           plan: mating.MatingPlan) -> dict:
+        """Children's sex/ids/pedigree/common-sibling effect
+        (`Simulation.cpp:2416-2484`) — shared by every genome backend."""
+        st = p.state
+        n_child = len(plan.child_father)
         rng_sex = np.random.default_rng(
             np_seed(self.cfg.seed, gen, Stage.SEX, p.index)
         )
@@ -889,16 +915,12 @@ class Simulation:
                     0.0, np.sqrt(ph.vc), size=plan.n_couples
                 )
                 C[j] = per_couple[plan.child_couple]
-        comp = {"C": C}
-        return PopState(
+        return dict(
             n=n_child,
-            seg_st=self._put(seg_st),
-            seg_hap=self._put(seg_hap),
-            mut=self._put(mut),
             sex=rng_sex.integers(1, 3, size=n_child).astype(np.int8),
             ids=ids,
             ped=ped,
-            comp=comp,
+            comp={"C": C},
             mv=np.zeros(n_child),
             sv=np.zeros(n_child),
             svf=np.ones(n_child),

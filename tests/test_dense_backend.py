@@ -1,0 +1,99 @@
+"""Dense genome backend (`--backend dense`, `dense/backend.py`) vs the
+segment engine on the same scenario: deterministic gen-0 quantities must
+match exactly (same founders, same CV effects), trajectories must agree
+distributionally (different meiosis RNG streams, same law).
+"""
+
+import numpy as np
+import pytest
+
+from geneevolve_tpu.config import ConfigError, parse_args
+from geneevolve_tpu.core.engine import Simulation
+from geneevolve_tpu.dense.backend import DenseSimulation
+
+
+def _argv(root, outdir, extra=()):
+    return [
+        "--file_gen_info", str(root / "popinfo.txt"),
+        "--file_hap_name", str(root / "hap_address.txt"),
+        "--file_recom_map", str(root / "rmap.txt"),
+        "--file_cv_info", str(root / "cv.info"),
+        "--file_cvs", str(root / "cv_address.txt"),
+        "--seed", "777",
+        "--prefix", str(outdir / "out"),
+        *extra,
+    ]
+
+
+@pytest.fixture(scope="module")
+def both_runs(mini_scenario, tmp_path_factory):
+    runs = {}
+    for name, extra in (
+        ("segment", ["--out_hap"]),
+        ("dense", ["--out_hap", "--backend", "dense"]),
+    ):
+        d = tmp_path_factory.mktemp(name)
+        cfg = parse_args(_argv(mini_scenario, d, extra))
+        sim = (DenseSimulation if name == "dense" else Simulation)(
+            cfg, verbose=False
+        )
+        sim.run()
+        runs[name] = (sim, d)
+    return runs
+
+
+def test_gen0_deterministic_match(both_runs):
+    seg, _ = both_runs["segment"]
+    den, _ = both_runs["dense"]
+    for k in ("var_A", "var_D", "var_G"):
+        np.testing.assert_allclose(
+            seg.pops[0].traj[k][:, 0], den.pops[0].traj[k][:, 0], rtol=1e-6
+        )
+
+
+def test_trajectories_distributionally_close(both_runs):
+    seg, _ = both_runs["segment"]
+    den, _ = both_runs["dense"]
+    a_s = seg.pops[0].traj["var_A"][0]
+    a_d = den.pops[0].traj["var_A"][0]
+    # small population drift: generous band, but same order
+    assert abs(np.mean(a_d[1:]) - np.mean(a_s[1:])) / np.mean(a_s[1:]) < 0.5
+    h_s = seg.pops[0].traj["h2"][0]
+    h_d = den.pops[0].traj["h2"][0]
+    assert abs(np.mean(h_d[1:]) - np.mean(h_s[1:])) < 0.1
+
+
+def test_hap_output_schema_and_frequencies(both_runs):
+    seg, dseg = both_runs["segment"]
+    den, dden = both_runs["dense"]
+    n = seg.pops[0].state.n
+    for chrom in (1, 2):
+        from geneevolve_tpu.io import hap as hap_io
+
+        a = hap_io.read_hap(dseg / f"out.pop1.gen4.chr{chrom}.hap")
+        b = hap_io.read_hap(dden / f"out.pop1.gen4.chr{chrom}.hap")
+        assert a.shape == b.shape == (2 * n, 200)
+        # drift keeps mean allele frequencies in the same neighborhood
+        assert abs(a.mean() - b.mean()) < 0.05
+
+
+def test_info_files_written_by_dense(both_runs):
+    _, d = both_runs["dense"]
+    info = (d / "out.info.pop1.gen4.txt").read_text().splitlines()
+    assert info[0].split()[:3] == ["ID", "ID_Father", "ID_Mother"]
+    assert len(info) == 61
+
+
+def test_config_rejects_unsupported_dense_modes(mini_scenario, tmp_path):
+    with pytest.raises(ConfigError, match="out_interval"):
+        parse_args(
+            _argv(mini_scenario, tmp_path,
+                  ["--backend", "dense", "--out_interval"])
+        )
+    with pytest.raises(ConfigError, match="segment"):
+        parse_args(
+            _argv(mini_scenario, tmp_path,
+                  ["--backend", "dense", "--checkpoint_every", "2"])
+        )
+    with pytest.raises(ConfigError, match="backend"):
+        parse_args(_argv(mini_scenario, tmp_path, ["--backend", "woof"]))
