@@ -102,10 +102,21 @@ def _reproduce_all(
         return child_st, child_hap, child_mut, seg_used, mut_used
 
     keys = jax.random.split(key, par_st.shape[0])
-    c_st, c_hap, c_mut, su, mu_used = jax.vmap(per_chr)(
+    xs = (
         par_st, par_hap, par_mut, keys,
         bp, xo_cum, xo_lambda, bin_width, mut_bp, mut_cum, mut_lambda,
     )
+    if os.environ.get("GE_VMAP_CHR") == "1":
+        # batched form: all chromosomes' meioses as one wide program
+        c_st, c_hap, c_mut, su, mu_used = jax.vmap(per_chr)(*xs)
+    else:
+        # sequential over chromosomes (lax.map = scan): identical values
+        # (per-chromosome keys are pre-split), ~nchr x smaller peak scratch
+        # and a ~nchr x smaller XLA program — the wide vmapped variadic
+        # sort crashed the TPU runtime at (22, 30k, 2, 140) on v5e/axon
+        c_st, c_hap, c_mut, su, mu_used = jax.lax.map(
+            lambda a: per_chr(*a), xs
+        )
     return c_st, c_hap, c_mut, jnp.max(su), jnp.max(mu_used)
 
 
@@ -149,9 +160,11 @@ def _ad_all(
         )
         return A, D, c
 
-    A, D, c = jax.vmap(per_chr)(
-        seg_st, seg_hap, mut, cv_bp, founder_cv, a_tab, d_tab
-    )
+    xs = (seg_st, seg_hap, mut, cv_bp, founder_cv, a_tab, d_tab)
+    if os.environ.get("GE_VMAP_CHR") == "1":
+        A, D, c = jax.vmap(per_chr)(*xs)
+    else:
+        A, D, c = jax.lax.map(lambda a: per_chr(*a), xs)
     return jnp.sum(A, axis=0), jnp.sum(D, axis=0), c
 
 
