@@ -125,6 +125,10 @@ def kernel_vs_oracle(use_pallas: bool) -> bool:
         hap, fathers, mothers, xo_p, st_p, xo_m, st_m, mu,
         n_chr=cfg.n_chr, chr_len=cfg.chr_len,
     )
+    got_bm = mpp.meiose_packed_pallas(
+        hap, fathers, mothers, xo_p, st_p, xo_m, st_m, mu,
+        n_chr=cfg.n_chr, chr_len=cfg.chr_len, child_major=False,
+    )
     wantA = pk.apply_mutations_packed(
         pk.meiose_packed_xla(hap, fathers, xo_p, st_p, cfg), mu[:, 0]
     )
@@ -132,7 +136,10 @@ def kernel_vs_oracle(use_pallas: bool) -> bool:
         pk.meiose_packed_xla(hap, mothers, xo_m, st_m, cfg), mu[:, 1]
     )
     want = jnp.stack([wantA, wantB], axis=1)
-    return bool(np.array_equal(np.asarray(got), np.asarray(want)))
+    return bool(
+        np.array_equal(np.asarray(got), np.asarray(want))
+        and np.array_equal(np.asarray(got_bm), np.asarray(want))
+    )
 
 
 def run(n: int, m: int, gens: int, use_pallas: bool, packed: bool) -> float:
@@ -148,6 +155,10 @@ def run(n: int, m: int, gens: int, use_pallas: bool, packed: bool) -> float:
         selection=True,
         use_pallas=use_pallas,
     )
+    if packed and os.environ.get("BENCH_COUPLES", "1") == "1":
+        # reference household law: couples + multinomial children sorted by
+        # couple; sibling adjacency lets the kernel reuse parent DMAs
+        kw["couples"] = True
     if packed:
         from geneevolve_tpu.dense.packed import (
             PackedConfig as Cfg,
@@ -267,6 +278,7 @@ def main() -> None:
                 "m": m,
                 "gens": gens,
                 "pallas": bool(use_pallas),
+                "couples": os.environ.get("BENCH_COUPLES", "1") == "1",
                 "kernel_oracle_ok": bool(oracle_ok),
                 # truncated Poisson draws across 4*gens warm reps (0 at
                 # defaults; nonzero means xo_cap/mut_cap are undersized)

@@ -110,12 +110,15 @@ def _reproduce_all(
         # batched form: all chromosomes' meioses as one wide program
         c_st, c_hap, c_mut, su, mu_used = jax.vmap(per_chr)(*xs)
     else:
-        # sequential over chromosomes (lax.map = scan): identical values
-        # (per-chromosome keys are pre-split), ~nchr x smaller peak scratch
-        # and a ~nchr x smaller XLA program — the wide vmapped variadic
-        # sort crashed the TPU runtime at (22, 30k, 2, 140) on v5e/axon
+        # chunked scan over chromosomes (vmap width GE_CHR_BATCH per
+        # iteration): same values as full vmap (per-chromosome keys are
+        # pre-split), ~nchr/b x smaller peak sort scratch — the full-width
+        # vmapped variadic sort crashed the v5e runtime at (22, 30k, 2,
+        # 140) — while keeping the compiled program one small body
+        b = int(os.environ.get("GE_CHR_BATCH", 4))
+        b = max(1, min(b, par_st.shape[0]))
         c_st, c_hap, c_mut, su, mu_used = jax.lax.map(
-            lambda a: per_chr(*a), xs
+            lambda a: per_chr(*a), xs, batch_size=b
         )
     return c_st, c_hap, c_mut, jnp.max(su), jnp.max(mu_used)
 
@@ -160,11 +163,12 @@ def _ad_all(
         )
         return A, D, c
 
-    xs = (seg_st, seg_hap, mut, cv_bp, founder_cv, a_tab, d_tab)
-    if os.environ.get("GE_VMAP_CHR") == "1":
-        A, D, c = jax.vmap(per_chr)(*xs)
-    else:
-        A, D, c = jax.lax.map(lambda a: per_chr(*a), xs)
+    # gathers only (no sort scratch): plain vmap compiles and runs fine at
+    # every shape tried; the scan form tripped a pathological remote
+    # compile on axon (>15 min)
+    A, D, c = jax.vmap(per_chr)(
+        seg_st, seg_hap, mut, cv_bp, founder_cv, a_tab, d_tab
+    )
     return jnp.sum(A, axis=0), jnp.sum(D, axis=0), c
 
 
@@ -489,19 +493,31 @@ class Simulation:
         )
 
         # capacities: uniform across chromosomes (sized for the largest map)
-        # so every chromosome shares one compiled kernel; sized from G*lambda
-        # so the regrow path never fires in normal runs
+        # so every chromosome shares one compiled kernel. s_cap covers the
+        # ~Poisson(G*L) boundary count to ~5e-10 per chromatid-generation
+        # (expected exceedances < 0.01 even at 300k x 22 chr x 10 gens);
+        # the host regrow loop in _reproduce catches the tail exactly.
         G = self.tot_gen
         L = max(
             m.xo_lambda for p in self.pops for m in p.maps
         )
         lam_m = max(m.mut_lambda for p in self.pops for m in p.maps)
         gl = max(G * L, 1.0)
-        self.s_cap = int(16 + np.ceil(gl + 8 * np.sqrt(gl)))
+        self.s_cap = int(8 + np.ceil(gl + 6 * np.sqrt(gl)))
         self.xo_cap = int(8 + np.ceil(L + 6 * np.sqrt(max(L, 1.0))))
-        gm = G * lam_m
-        self.m_cap = int(8 + np.ceil(gm + 6 * np.sqrt(max(gm, 1.0))))
-        self.mn_cap = int(4 + np.ceil(lam_m + 6 * np.sqrt(max(lam_m, 0.25))))
+        if lam_m > 0:
+            gm = G * lam_m
+            self.m_cap = int(8 + np.ceil(gm + 6 * np.sqrt(max(gm, 1.0))))
+            self.mn_cap = int(
+                4 + np.ceil(lam_m + 6 * np.sqrt(max(lam_m, 0.25)))
+            )
+        else:  # no mutation map: keep the (always-BIG) planes minimal
+            self.m_cap = 2
+            self.mn_cap = 2
+        # founder-hap indices fit int16 up to 32k haplotypes — half the
+        # hap plane at reference-scale n
+        H_tot = sum(2 * p.n_founders for p in self.pops)
+        self.hap_dtype = jnp.int16 if H_tot <= 32000 else jnp.int32
 
         # trajectories
         for p in self.pops:
@@ -544,7 +560,7 @@ class Simulation:
         n = p.n_founders
         chr_starts = np.array([m.chr_start for m in p.maps])
         seg_st, seg_hap = segments.init_gen0_ledger_stacked(
-            n, chr_starts, p.hap_offset, self.s_cap
+            n, chr_starts, p.hap_offset, self.s_cap, self.hap_dtype
         )
         mut = segments.empty_mutations_stacked(
             len(self.chrs), n, self.m_cap

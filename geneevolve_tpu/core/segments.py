@@ -170,9 +170,13 @@ def empty_mutations(n: int, capacity: int) -> jax.Array:
 
 
 def init_gen0_ledger_stacked(
-    n: int, chr_starts: np.ndarray, hap_offset: int, capacity: int
+    n: int, chr_starts: np.ndarray, hap_offset: int, capacity: int,
+    hap_dtype=jnp.int32,
 ) -> Tuple[jax.Array, jax.Array]:
-    """(nchr, n, 2, S) stacked founder ledgers (see `init_gen0_ledger`)."""
+    """(nchr, n, 2, S) stacked founder ledgers (see `init_gen0_ledger`).
+
+    `hap_dtype` may be int16 when the total founder-hap count fits
+    (H <= 32k): halves the hap-index plane at biobank n."""
     nchr = len(chr_starts)
     st = np.full((nchr, n, 2, capacity), _big(), dtype=np.int64)
     st[:, :, :, 0] = np.asarray(chr_starts)[:, None, None]
@@ -182,7 +186,7 @@ def init_gen0_ledger_stacked(
     hap[:, :, 1, 0] = base[None, :] + 1
     return (
         jnp.asarray(st, dtype=pos_dtype()),
-        jnp.asarray(hap),
+        jnp.asarray(hap, dtype=hap_dtype),
     )
 
 

@@ -70,6 +70,10 @@ class PackedConfig:
     ncv: int = 128
     selection: bool = False
     use_pallas: bool = False
+    couples: bool = False  # couple-structured mating: n//2 couples,
+    # multinomial children SORTED by couple (the reference's household law,
+    # `Simulation.cpp:2329-2355`); sibling grouping lets the Pallas kernel
+    # reuse parent-plane DMAs (block-major grid order)
 
     @property
     def chr_len(self) -> int:
@@ -316,6 +320,8 @@ def make_reproduce(cfg: PackedConfig):
             return mpp.meiose_packed_pallas(
                 hap, fathers, mothers, xo_p, st_p, xo_m, st_m, mu,
                 n_chr=cfg.n_chr, chr_len=cfg.chr_len,
+                # siblings adjacent -> block-major grid reuses parent DMAs
+                child_major=not cfg.couples,
             )
         childA = meiose_packed_xla(hap, fathers, xo_p, st_p, cfg)
         childB = meiose_packed_xla(hap, mothers, xo_m, st_m, cfg)
@@ -341,16 +347,22 @@ def make_step(cfg: PackedConfig, xo_cdf=None):
         n = cfg.n
         k_mate, k_pat, k_mat, k_mu1, k_mu2 = jax.random.split(key, 5)
 
+        km1, km2, km3 = jax.random.split(k_mate, 3)
         if cfg.selection:
             bv = phenotype_from_cv(state["cv"], state["eff"])
             z = (bv - jnp.mean(bv)) / (jnp.std(bv) + 1e-9)
-            km1, km2 = jax.random.split(k_mate)
             fathers = jax.random.categorical(km1, z, shape=(n,))
             mothers = jax.random.categorical(km2, z, shape=(n,))
         else:
-            km1, km2 = jax.random.split(k_mate)
             fathers = jax.random.randint(km1, (n,), 0, n_par)
             mothers = jax.random.randint(km2, (n,), 0, n_par)
+        if cfg.couples:
+            # households: the first n//2 draws act as the couple pool and
+            # children land multinomially, sorted so siblings are adjacent
+            c = max(n // 2, 1)
+            cc = jnp.sort(jax.random.randint(km3, (n,), 0, c))
+            fathers = fathers[cc]
+            mothers = mothers[cc]
 
         xo_p, st_p, clip_p = _sample_gamete_plan(k_pat, dense_cfg, n, xo_cdf)
         xo_m, st_m, clip_m = _sample_gamete_plan(k_mat, dense_cfg, n, xo_cdf)

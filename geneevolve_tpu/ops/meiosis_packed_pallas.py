@@ -85,6 +85,7 @@ def _kernel(
     chr_rows: int,
     K: int,
     blk_rows: int,
+    blk_axis: int = 1,
 ):
     # Crossover/mutation slot loops run to the REAL count (scalar-driven
     # fori_loop over SMEM), not the static cap: counts are ~Poisson(1) per
@@ -92,7 +93,7 @@ def _kernel(
     # VPU-compute-bound (~70 vector ops/word) while the DMAs idled. Padding
     # slots would contribute zero anyway (pad = m compares past the last
     # word), so trip-count truncation is bitwise-neutral.
-    row0 = pl.program_id(1) * blk_rows
+    row0 = pl.program_id(blk_axis) * blk_rows
     n_slices = max(1, blk_rows // chr_rows)
     rows = min(blk_rows, chr_rows)
     iota = jax.lax.broadcasted_iota(
@@ -140,7 +141,7 @@ def _kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_chr", "chr_len", "max_rows")
+    jax.jit, static_argnames=("n_chr", "chr_len", "max_rows", "child_major")
 )
 def meiose_packed_pallas(
     hap,  # (N, 2, mw) uint32 parent planes
@@ -155,12 +156,20 @@ def meiose_packed_pallas(
     n_chr: int,
     chr_len: int,
     max_rows: int = 0,
+    child_major: bool = True,
 ):
     """One fused reproduce pass: child = meiosis(father, mother) ^ mutations.
 
     Returns (n, 2, mw) uint32 child planes (gamete from father in plane 0).
     Requires chr_len % (32 * 128) == 0 (see `pick_block_rows`).
-    """
+
+    `child_major=False` iterates the grid block-major (row-block outer,
+    child inner): when consecutive children share a parent — siblings
+    grouped by sorting children by couple — the Pallas pipeline sees the
+    SAME father/mother block index on consecutive steps and skips the DMA,
+    so sibling groups fetch each parent's planes once per block instead of
+    once per child (the parent-locality play past the per-child gather
+    roofline, DESIGN.md)."""
     n = fathers.shape[0]
     mw = hap.shape[2]
     K = xo_p.shape[2]
@@ -178,27 +187,33 @@ def meiose_packed_pallas(
     m_total = mw * 32
     xo_cnt = jnp.sum(xo < m_total, axis=3).astype(jnp.int32)  # (n, 2, n_chr)
 
+    if child_major:
+        grid = (n, R // blk_rows)
+        ij = lambda f: (lambda i, j, ps: f(i, j, ps))
+    else:  # block-major: child index is the INNER (fastest) grid axis
+        grid = (R // blk_rows, n)
+        ij = lambda f: (lambda j, i, ps: f(i, j, ps))
     in_specs = [
         pl.BlockSpec(
-            (1, 2, blk_rows, LANES), lambda i, j, ps: (ps[2 * i], 0, j, 0)
+            (1, 2, blk_rows, LANES), ij(lambda i, j, ps: (ps[2 * i], 0, j, 0))
         ),
         pl.BlockSpec(
             (1, 2, blk_rows, LANES),
-            lambda i, j, ps: (ps[2 * i + 1], 0, j, 0),
+            ij(lambda i, j, ps: (ps[2 * i + 1], 0, j, 0)),
         ),
         pl.BlockSpec(
             (1, 2, n_chr, K),
-            lambda i, j, ps: (i, 0, 0, 0),
+            ij(lambda i, j, ps: (i, 0, 0, 0)),
             memory_space=pltpu.SMEM,
         ),
         pl.BlockSpec(
             (1, 2, n_chr),
-            lambda i, j, ps: (i, 0, 0),
+            ij(lambda i, j, ps: (i, 0, 0)),
             memory_space=pltpu.SMEM,
         ),
         pl.BlockSpec(
             (1, 2, n_chr),
-            lambda i, j, ps: (i, 0, 0),
+            ij(lambda i, j, ps: (i, 0, 0)),
             memory_space=pltpu.SMEM,
         ),
     ]
@@ -212,18 +227,19 @@ def meiose_packed_pallas(
         in_specs.extend([
             pl.BlockSpec(
                 (1, 2, mu.shape[2]),
-                lambda i, j, ps: (i, 0, 0),
+                ij(lambda i, j, ps: (i, 0, 0)),
                 memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec(
                 (1, 2, 1),
-                lambda i, j, ps: (i, 0, 0),
+                ij(lambda i, j, ps: (i, 0, 0)),
                 memory_space=pltpu.SMEM,
             ),
         ])
         operands.extend([mu, mu_cnt])
     kernel = functools.partial(
-        _kernel, chr_rows=chr_rows, K=K, blk_rows=blk_rows
+        _kernel, chr_rows=chr_rows, K=K, blk_rows=blk_rows,
+        blk_axis=1 if child_major else 0,
     )
     if mu is None:
         kernel = functools.partial(
@@ -237,11 +253,12 @@ def meiose_packed_pallas(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(n, R // blk_rows),
+            grid=grid,
             in_specs=in_specs,
             out_specs=[
                 pl.BlockSpec(
-                    (1, 2, blk_rows, LANES), lambda i, j, ps: (i, 0, j, 0)
+                    (1, 2, blk_rows, LANES),
+                    ij(lambda i, j, ps: (i, 0, j, 0)),
                 )
             ],
         ),
