@@ -139,6 +139,10 @@ def read_legend(path: str | os.PathLike) -> Legend:
 
 
 def read_indv(path: str | os.PathLike) -> List[str]:
+    """Whitespace-delimited sample ids — exactly the reference's
+    `while (ifile >> id)` tokenization (`format_hap.cpp:173-177`): ids
+    containing spaces split into multiple samples in BOTH implementations,
+    so the counts stay in lockstep."""
     with open(path, "r") as f:
         return f.read().split()
 

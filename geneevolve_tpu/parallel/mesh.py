@@ -128,7 +128,6 @@ def make_deme_step(cfg, mesh: Mesh, mig_rate: float = 0.0,
         cv_child,
         make_reproduce,
         mutation_positions,
-        phenotype_from_cv,
     )
     from geneevolve_tpu.dense.step import _sample_gamete_plan
 
@@ -196,10 +195,23 @@ def make_deme_step(cfg, mesh: Mesh, mig_rate: float = 0.0,
         k_pat, k_mat, k_mu1, k_mu2 = jax.random.split(k_loc, 4)
 
         if cfg.selection:
-            # deme-local phenotype from the resident CV matrix (replicated
-            # along 'loci'); allele freqs are deme-local like the parents
-            bv = phenotype_from_cv(state["cv"], state["eff"])
-            z = (bv - jnp.mean(bv)) / (jnp.std(bv) + 1e-9)
+            # phenotype from the resident CV matrix (replicated along
+            # 'loci'); allele-frequency centering is GLOBAL — one integer
+            # psum of allele counts over 'ind' (exact, order-invariant) —
+            # so the A-model matches the panmictic/reference definition
+            # (`Simulation.cpp:2647-2663`) even though parents stay
+            # deme-local
+            cvm = state["cv"]
+            t = (cvm[:, 0] + cvm[:, 1]).astype(jnp.int32)
+            tsum = jax.lax.psum(jnp.sum(t, axis=0), "ind")
+            p_glob = tsum.astype(jnp.float32) / (2.0 * n_loc * ind_n)
+            bv = (t.astype(jnp.float32) - 2.0 * p_glob[None, :]) @ state["eff"]
+            # global standardization too (SV is standardized to global
+            # moments in the reference, `Simulation.cpp:3324-3339`)
+            N = float(n_loc * ind_n)
+            mu_g = jax.lax.psum(jnp.sum(bv), "ind") / N
+            var_g = jax.lax.psum(jnp.sum((bv - mu_g) ** 2), "ind") / N
+            z = (bv - mu_g) / (jnp.sqrt(var_g) + 1e-9)
             km1, km2 = jax.random.split(k_mate)
             fathers = jax.random.categorical(km1, z, shape=(n_loc,))
             mothers = jax.random.categorical(km2, z, shape=(n_loc,))
