@@ -37,7 +37,9 @@ from geneevolve_tpu.utils import telemetry
 
 @partial(
     jax.jit,
-    static_argnames=("s_cap", "m_cap", "xo_cap", "mn_cap", "merge_ibd"),
+    static_argnames=(
+        "s_cap", "m_cap", "xo_cap", "mn_cap", "merge_ibd", "has_mut"
+    ),
 )
 def _reproduce_all(
     par_st,  # (nchr, n, 2, S)
@@ -58,12 +60,15 @@ def _reproduce_all(
     xo_cap: int,
     mn_cap: int,
     merge_ibd: bool = True,
+    has_mut: bool = True,
 ):
     """All chromosomes of `reproduce` (`Simulation.cpp:2394-2493`) for all
     children in one compiled call: vmap over the chromosome axis, with the
     per-chromosome map scalars traced (not static), so one compilation
     serves every chromosome and every generation of a fixed population
-    size."""
+    size. `has_mut=False` (no mutation map anywhere) skips the whole
+    mutation pipeline statically — the BIG-padded carrier arrays pass
+    through untouched."""
     nc = father.shape[0]
 
     def per_chr(st, hp, mu, k, bp_c, xoc, xol, bw, mbp, mcum, mlam):
@@ -84,21 +89,32 @@ def _reproduce_all(
         child_st = jnp.stack([st0, st1], axis=1)
         child_hap = jnp.stack([hap0, hap1], axis=1)
 
-        new = segments.sample_point_process(
-            k_mp, nc, mn_cap, mcum, mlam, mbp, 0, True
-        )
-        which = jax.random.randint(k_mc, (nc, mn_cap), 0, 2)
-        new_f = jnp.sort(jnp.where(which == 0, new, segments._big()), axis=1)
-        new_m = jnp.sort(jnp.where(which == 1, new, segments._big()), axis=1)
-        mut0, nm0 = segments.inherit_mutations(
-            mu[father], xo_f, sh[:, 0], new_f, m_cap
-        )
-        mut1, nm1 = segments.inherit_mutations(
-            mu[mother], xo_m, sh[:, 1], new_m, m_cap
-        )
-        child_mut = jnp.stack([mut0, mut1], axis=1)
+        if has_mut:
+            new = segments.sample_point_process(
+                k_mp, nc, mn_cap, mcum, mlam, mbp, 0, True
+            )
+            which = jax.random.randint(k_mc, (nc, mn_cap), 0, 2)
+            big = segments._big()
+            # chromatid split keeps each gamete's list sorted: masked slots
+            # jump to BIG but the kept subsequence stays ascending, and
+            # inherit_mutations re-sorts the merged result anyway
+            new_f = jnp.where(which == 0, new, big)
+            new_m = jnp.where(which == 1, new, big)
+            mut0, nm0 = segments.inherit_mutations(
+                mu[father], xo_f, sh[:, 0], new_f, m_cap
+            )
+            mut1, nm1 = segments.inherit_mutations(
+                mu[mother], xo_m, sh[:, 1], new_m, m_cap
+            )
+            child_mut = jnp.stack([mut0, mut1], axis=1)
+            mut_used = jnp.maximum(jnp.max(nm0), jnp.max(nm1))
+        else:
+            child_mut = jnp.full(
+                (nc, 2, mu.shape[-1]), segments._big(),
+                dtype=segments.pos_dtype(),
+            )
+            mut_used = jnp.zeros((), dtype=jnp.int32)
         seg_used = jnp.maximum(jnp.max(nv0), jnp.max(nv1))
-        mut_used = jnp.maximum(jnp.max(nm0), jnp.max(nm1))
         return child_st, child_hap, child_mut, seg_used, mut_used
 
     keys = jax.random.split(key, par_st.shape[0])
@@ -112,10 +128,20 @@ def _reproduce_all(
     else:
         # chunked scan over chromosomes (vmap width GE_CHR_BATCH per
         # iteration): same values as full vmap (per-chromosome keys are
-        # pre-split), ~nchr/b x smaller peak sort scratch — the full-width
-        # vmapped variadic sort crashed the v5e runtime at (22, 30k, 2,
-        # 140) — while keeping the compiled program one small body
-        b = int(os.environ.get("GE_CHR_BATCH", 4))
+        # pre-split), ~nchr/b x smaller peak merge scratch, while keeping
+        # the compiled program one small body. The merge transients are
+        # ~(2S+K)*nc*24 bytes per in-flight chromosome, so the default
+        # batch narrows as the child count grows.
+        if "GE_CHR_BATCH" in os.environ:
+            b = int(os.environ["GE_CHR_BATCH"])
+        else:
+            # transient budget: the merge materializes ~8 (L, nc) int32
+            # arrays per in-flight chromosome (L = 2S+K+1); cap the batch so
+            # that stays ~3 GB, and otherwise run every chromosome in one
+            # vmapped body (per-fusion launch overheads amortize across the
+            # batch axis)
+            L = 2 * s_cap + xo_cap + 1
+            b = max(1, int(3e9 / (L * max(nc, 1) * 4 * 8)))
         b = max(1, min(b, par_st.shape[0]))
         c_st, c_hap, c_mut, su, mu_used = jax.lax.map(
             lambda a: per_chr(*a), xs, batch_size=b
@@ -511,9 +537,11 @@ class Simulation:
             self.mn_cap = int(
                 4 + np.ceil(lam_m + 6 * np.sqrt(max(lam_m, 0.25)))
             )
+            self.has_mut = True
         else:  # no mutation map: keep the (always-BIG) planes minimal
             self.m_cap = 2
             self.mn_cap = 2
+            self.has_mut = False
         # founder-hap indices fit int16 up to 32k haplotypes — half the
         # hap plane at reference-scale n
         H_tot = sum(2 * p.n_founders for p in self.pops)
@@ -887,6 +915,7 @@ class Simulation:
                 self.xo_cap,
                 self.mn_cap,
                 self.merge_ibd,
+                self.has_mut,
             )
             # one host sync per generation: the capacity check (sized so
             # this regrows only in pathological runs)

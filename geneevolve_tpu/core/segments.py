@@ -211,145 +211,241 @@ def sample_point_process(
     (`bp[j] + U[0,width)`); True = mutation convention (uniform over
     [bp[j-1], bp[j]] inclusive).
 
+    Sorted-by-construction: the row's points are the order statistics of
+    `count` uniforms on [0, total mass), generated as normalized cumulative
+    Exp(1) gaps (S_1..S_c)/S_{c+1} — the classic representation — then
+    pushed through the monotone inverse-CDF over bin masses, with the
+    within-bin offset taken from the same uniform's remainder. No sort: XLA's
+    TPU sort along a minor axis is ~50x slower than the surrounding ops
+    (measured on v5e), and this function runs 3x per chromosome per
+    generation.
+
     `lam` and `width` may be python scalars or traced jax scalars (so one
     compiled function serves every chromosome); lam == 0 yields all-padding
     rows (jax.random.poisson returns 0 for rate 0)."""
     if isinstance(lam, (int, float)) and lam <= 0.0:
         return jnp.full((n, cap), _big(), dtype=pos_dtype())
-    k1, k2, k3 = jax.random.split(key, 3)
+    k1, k2 = jax.random.split(key, 2)
     counts = jnp.minimum(jax.random.poisson(k1, lam, (n,)), cap)
-    u = jax.random.uniform(k2, (n, cap), dtype=jnp.float32) * cum[-1]
+    gaps = -jnp.log1p(-jax.random.uniform(k2, (n, cap + 1), dtype=jnp.float32))
+    s = jnp.cumsum(gaps, axis=1)
+    # S_{c+1} per row, via masked sum (per-row dynamic gathers are slow)
+    denom = jnp.sum(
+        jnp.where(jnp.arange(cap + 1)[None, :] == counts[:, None], s, 0.0),
+        axis=1,
+    )
+    u = s[:, :cap] / jnp.maximum(denom, 1e-30)[:, None] * cum[-1]
     bins = jnp.searchsorted(cum, u, side="right")
     bins = jnp.minimum(bins, cum.shape[0] - 1)
-    v = jax.random.uniform(k3, (n, cap), dtype=jnp.float32)
+    lo_mass = jnp.where(bins > 0, cum[jnp.maximum(bins - 1, 0)], 0.0)
+    mass = jnp.maximum(cum[bins] - lo_mass, 1e-30)
+    v = jnp.clip((u - lo_mass) / mass, 0.0, 1.0 - 1e-7)
     if inclusive_bins:
-        lo = bp[bins - 1]
+        lo = bp[jnp.maximum(bins - 1, 0)]
         span = (bp[bins] - lo + 1).astype(jnp.float32)
         pos = lo + jnp.floor(v * span).astype(pos_dtype())
     else:
         w = jnp.asarray(width, dtype=jnp.float32)
         pos = bp[bins] + jnp.floor(v * w).astype(pos_dtype())
-    pos = jnp.where(jnp.arange(cap)[None, :] < counts[:, None], pos, _big())
-    return jnp.sort(pos, axis=1)
+    return jnp.where(
+        jnp.arange(cap)[None, :] < counts[:, None], pos, _big()
+    )
 
 
-def _active_at(xo: jax.Array, start_hap: jax.Array, q: jax.Array) -> jax.Array:
-    """Which parent chromatid the gamete copies at position(s) q."""
-    cnt = jnp.searchsorted(xo, q, side="right")
-    return (start_hap + cnt) % 2
+def _active_at_T(xo_T: jax.Array, start_hap: jax.Array, q_T: jax.Array) -> jax.Array:
+    """Which parent chromatid the gamete copies at each query position.
+
+    Transposed layout: `xo_T` is (K, nc) sorted crossover positions (BIG
+    padded), `q_T` is (Q, nc), `start_hap` is (nc,). The crossover count
+    #{xo <= q} is a broadcast compare-reduce (fused by XLA; per-row
+    `searchsorted` + dynamic gathers are ~100x slower at biobank n on TPU).
+    BIG padding slots never count: valid q < BIG < nothing, pad xo == BIG >
+    every valid q."""
+    cnt = jnp.sum(
+        (xo_T[None, :, :] <= q_T[:, None, :]).astype(jnp.int32), axis=1
+    )
+    return (start_hap[None, :] + cnt) % 2
 
 
-def meiose_one(
-    par_st: jax.Array,  # (2, S) parent chromatid boundary starts
-    par_hap: jax.Array,  # (2, S)
-    xo: jax.Array,  # (K,) sorted crossover positions (BIG padded)
-    start_hap: jax.Array,  # scalar 0/1
+def _seg_lookup_T(pos_T: jax.Array, hap_T: jax.Array, q_T: jax.Array) -> jax.Array:
+    """hap covering each query: `hap[#{pos <= q} - 1]`, transposed layout.
+
+    `pos_T`/`hap_T` are (S, nc) sorted-boundary columns, `q_T` is (Q, nc).
+    The covering-segment index is a compare-reduce and the hap fetch a
+    one-hot select-reduce over the S axis — both lane-parallel VPU ops,
+    no data-dependent gathers."""
+    S = pos_T.shape[0]
+    idx = (
+        jnp.sum((pos_T[None, :, :] <= q_T[:, None, :]).astype(jnp.int32), axis=1)
+        - 1
+    )
+    return jnp.sum(
+        jnp.where(
+            idx[:, None, :] == jnp.arange(S)[None, :, None],
+            hap_T[None, :, :],
+            0,
+        ).astype(hap_T.dtype),
+        axis=1,
+    )
+
+
+def _sort_T(operands, is_stable=True):
+    """Variadic sort along axis 0 (the candidates axis) of (L, nc) arrays.
+
+    XLA's TPU sort along a non-minor axis vectorizes across lanes (~0.4
+    ns/element measured on v5e); the same sort along the minor axis is
+    ~50x slower. Every sort in this module therefore runs in the
+    transposed candidates-leading layout."""
+    return jax.lax.sort(
+        operands, dimension=0, is_stable=is_stable, num_keys=1
+    )
+
+
+def meiose(
+    par_st: jax.Array,  # (nc, 2, S) parent chromatid boundary starts
+    par_hap: jax.Array,  # (nc, 2, S)
+    xo: jax.Array,  # (nc, K) sorted crossover positions (BIG padded)
+    start_hap: jax.Array,  # (nc,) 0/1
     capacity: int,
     merge_ibd: bool = True,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """One gamete: returns (child_st (S,), child_hap (S,), n_valid).
+    """One gamete per child, batched: returns (child_st (nc, capacity),
+    child_hap, n_valid (nc,)).
 
-    `merge_ibd=True` coalesces adjacent boundaries that point at the same
-    founder hap — IBD-equivalent and cheaper, but it erases crossover-event
-    positions. `merge_ibd=False` keeps every boundary exactly like the
-    reference's `recombine` part splitting (`Simulation.cpp:2903-2958`),
-    which the `.int` dump (`:1582-1639`) relies on to encode recombination
-    history."""
-    S = par_st.shape[1]
-    K = xo.shape[0]
-    chr_start = par_st[0, 0]  # ledger invariant: first boundary = chr start
-    cand = jnp.concatenate([chr_start[None], xo, par_st[0], par_st[1]])
-    active = _active_at(xo, start_hap, cand)
-    src_valid = jnp.concatenate(
+    The child ledger is the merge of three sorted candidate lists — the
+    chromosome start + crossover positions, and the two parent chromatids'
+    boundaries (each kept iff the gamete copies that chromatid there) —
+    realized as ONE stable two-operand `lax.sort` along the transposed
+    candidates axis. Replaces the reference's sequential `recombine` part
+    walk (`/root/reference/src/Simulation.cpp:2903-2958`).
+
+    `merge_ibd=True` (the main-loop mode) leaves same-position /
+    same-founder adjacent duplicates in place: every downstream consumer
+    probes the ledger with a "last boundary <= q" rule, for which a
+    duplicate run and its last element are indistinguishable, and the
+    capacity model (Poisson(G*L) total inherited crossovers) already covers
+    the un-merged count. `merge_ibd=False` reproduces the reference's exact
+    part splitting — every crossover keeps its own boundary, zero-length
+    parts removed (keep-last) — which the `.int` dump
+    (`Simulation.cpp:1582-1639`) relies on to encode recombination history.
+    """
+    nc, _, S = par_st.shape
+    K = xo.shape[1]
+    big = _big()
+    A = par_st[:, 0, :].T  # (S, nc)
+    B = par_st[:, 1, :].T
+    hA = par_hap[:, 0, :].T
+    hB = par_hap[:, 1, :].T
+    xo_T = xo.T  # (K, nc)
+    chr_start = A[0]  # ledger invariant: first boundary = chr start
+    X = jnp.concatenate([chr_start[None], xo_T], axis=0)  # (K+1, nc)
+    cand = jnp.concatenate([X, A, B], axis=0)  # (L, nc)
+    act = _active_at_T(xo_T, start_hap, cand)
+    # parents' row 0 is always chr_start (ledger invariant) and X row 0
+    # supplies that boundary with the identical covering hap — keeping both
+    # would accumulate one duplicate slot per generation, so the parents'
+    # copies are dropped unconditionally
+    not_first = jnp.arange(S)[:, None] > 0
+    valid = jnp.concatenate(
         [
-            jnp.ones((1,), dtype=bool),
-            xo < _big(),
-            (par_st[0] < _big()) & (active[1 + K : 1 + K + S] == 0),
-            (par_st[1] < _big()) & (active[1 + K + S :] == 1),
-        ]
+            jnp.ones((1, nc), dtype=bool),
+            xo_T < big,
+            (A < big) & (act[1 + K : 1 + K + S] == 0) & not_first,
+            (B < big) & (act[1 + K + S :] == 1) & not_first,
+        ],
+        axis=0,
     )
-    idx0 = jnp.searchsorted(par_st[0], cand, side="right") - 1
-    idx1 = jnp.searchsorted(par_st[1], cand, side="right") - 1
-    hap = jnp.where(active == 0, par_hap[0][idx0], par_hap[1][idx1])
-    st = jnp.where(src_valid, cand, _big())
-    order = jnp.argsort(st, stable=True)
-    st = st[order]
-    hap = hap[order]
-    if merge_ibd:
-        # merge adjacent boundaries with identical founder hap
-        dup = jnp.concatenate(
-            [
-                jnp.zeros((1,), dtype=bool),
-                (hap[1:] == hap[:-1]) & (st[1:] < _big()),
-            ]
-        )
-        st = jnp.where(dup, _big(), st)
-        order = jnp.argsort(st, stable=True)
-        st = st[order]
-        hap = hap[order]
-    else:
-        # duplicated positions (the chr start re-listed by both parents'
-        # first boundaries, or a crossover landing exactly on a parent
-        # boundary) would create zero-length parts the reference never
-        # emits; keep the last occurrence of each position
+    # hap per candidate: crossover rows look up the covering segment of the
+    # newly-active chromatid; parent-boundary rows carry their own hap (a
+    # position-duplicate within one chromatid always travels with its twin,
+    # so own-hap vs last-duplicate-hap is probe-equivalent)
+    hX = jnp.where(
+        act[: 1 + K] == 0, _seg_lookup_T(A, hA, X), _seg_lookup_T(B, hB, X)
+    )
+    hap_cand = jnp.concatenate([hX, hA, hB], axis=0)  # (L, nc)
+    st = jnp.where(valid, cand, big)
+    st, hap = _sort_T([st, hap_cand.astype(jnp.int32)])
+    if not merge_ibd:
+        # exact part splitting: drop earlier entries of equal positions
+        # (zero-length parts the reference never emits), keep the last
         last = jnp.concatenate(
-            [(st[1:] != st[:-1]) | (st[1:] >= _big()), jnp.ones((1,), bool)]
+            [(st[1:] != st[:-1]) | (st[1:] >= big), jnp.ones((1, nc), bool)],
+            axis=0,
         )
-        st = jnp.where(last, st, _big())
-        order = jnp.argsort(st, stable=True)
-        st = st[order]
-        hap = hap[order]
-    n_valid = jnp.sum(st < _big())  # pre-truncation: lets the host detect overflow
-    return st[:capacity], hap[:capacity], n_valid
+        st = jnp.where(last, st, big)
+        st, hap = _sort_T([st, hap])
+    n_valid = jnp.sum(st < big, axis=0)  # pre-truncation: host overflow check
+    return (
+        st[:capacity].T,
+        hap[:capacity].T.astype(par_hap.dtype),
+        n_valid,
+    )
 
 
-# vmap over children: parent rows are pre-gathered per child
-meiose = jax.vmap(meiose_one, in_axes=(0, 0, 0, 0, None, None))
-
-
-def inherit_mutations_one(
-    par_mut: jax.Array,  # (2, M) parent's chromatid mutation positions
-    xo: jax.Array,  # (K,)
-    start_hap: jax.Array,
-    new_mut: jax.Array,  # (Mn,) new mutations for this gamete (BIG padded)
+def inherit_mutations(
+    par_mut: jax.Array,  # (nc, 2, M) parent chromatid mutation positions
+    xo: jax.Array,  # (nc, K)
+    start_hap: jax.Array,  # (nc,)
+    new_mut: jax.Array,  # (nc, Mn) new mutations for this gamete (BIG padded)
     capacity: int,
 ) -> Tuple[jax.Array, jax.Array]:
     """Keep a parent mutation iff the gamete copied its region
-    (`modify_part_for_mutation_pos`, `Simulation.cpp:2961-2970`)."""
-    a0 = _active_at(xo, start_hap, par_mut[0])
-    a1 = _active_at(xo, start_hap, par_mut[1])
-    keep0 = jnp.where((par_mut[0] < _big()) & (a0 == 0), par_mut[0], _big())
-    keep1 = jnp.where((par_mut[1] < _big()) & (a1 == 1), par_mut[1], _big())
-    allm = jnp.sort(jnp.concatenate([keep0, keep1, new_mut]))
-    # dedupe repeated positions (the reference flips on membership, not count)
-    dup = jnp.concatenate(
-        [jnp.zeros((1,), dtype=bool), (allm[1:] == allm[:-1]) & (allm[1:] < _big())]
+    (`modify_part_for_mutation_pos`, `Simulation.cpp:2961-2970`), merge in
+    the de novo ones, dedupe repeated positions (the reference flips on
+    membership, not count). Batched, transposed-axis sorts."""
+    nc = par_mut.shape[0]
+    big = _big()
+    m0 = par_mut[:, 0, :].T  # (M, nc)
+    m1 = par_mut[:, 1, :].T
+    xo_T = xo.T
+    k0 = jnp.where(
+        (m0 < big) & (_active_at_T(xo_T, start_hap, m0) == 0), m0, big
     )
-    allm = jnp.sort(jnp.where(dup, _big(), allm))
-    n_valid = jnp.sum(allm < _big())
-    return allm[:capacity], n_valid
-
-
-inherit_mutations = jax.vmap(inherit_mutations_one, in_axes=(0, 0, 0, 0, None))
+    k1 = jnp.where(
+        (m1 < big) & (_active_at_T(xo_T, start_hap, m1) == 1), m1, big
+    )
+    allm = jnp.concatenate([k0, k1, new_mut.T], axis=0)
+    allm = _sort_T([allm], is_stable=False)[0]
+    dup = jnp.concatenate(
+        [
+            jnp.zeros((1, nc), dtype=bool),
+            (allm[1:] == allm[:-1]) & (allm[1:] < big),
+        ],
+        axis=0,
+    )
+    allm = _sort_T([jnp.where(dup, big, allm)], is_stable=False)[0]
+    n_valid = jnp.sum(allm < big, axis=0)
+    return allm[:capacity].T, n_valid
 
 
 def hap_at(seg_st: jax.Array, seg_hap: jax.Array, q: jax.Array) -> jax.Array:
-    """Founder hap covering position(s) q. seg_* are (..., S); q is (..., Q)
-    with matching leading dims (or broadcastable 1-D q)."""
+    """Founder hap covering position(s) q: `hap[#{st <= q} - 1]`.
 
-    def one(st, hp, qq):
-        return hp[jnp.searchsorted(st, qq, side="right") - 1]
-
+    seg_* are (..., S); q is (..., Q) with matching leading dims (or a
+    broadcastable 1-D q). The covering index is a broadcast compare-reduce
+    over the (bounded, ~50-slot) ledger axis and the hap fetch a one-hot
+    select-reduce — O(Q*S) VPU work that XLA fuses without materializing
+    the (..., Q, S) intermediate. The per-row searchsorted + dynamic-gather
+    formulation this replaces hit XLA:TPU's serial per-row gather path
+    (~100x slower at n=300k, measured)."""
     lead = seg_st.shape[:-1]
+    S = seg_st.shape[-1]
     if q.ndim == 1:
         q = jnp.broadcast_to(q, lead + q.shape)
-    f = one
-    for _ in lead:
-        f = jax.vmap(f)
-    return f(
-        seg_st.reshape(lead + (-1,)),
-        seg_hap.reshape(lead + (-1,)),
-        q,
+    idx = (
+        jnp.sum(
+            (seg_st[..., None, :] <= q[..., :, None]).astype(jnp.int32),
+            axis=-1,
+        )
+        - 1
+    )
+    return jnp.sum(
+        jnp.where(
+            idx[..., None] == jnp.arange(S),
+            seg_hap[..., None, :],
+            0,
+        ).astype(seg_hap.dtype),
+        axis=-1,
     )
 
 
@@ -358,17 +454,9 @@ def mutation_flip_mask(mut: jax.Array, q: jax.Array) -> jax.Array:
     Mutations only flip alleles at panel positions they coincide with
     (`Simulation.cpp:2770-2775`, `:1218-1222`).
 
-    Mutation lists are sorted (BIG-padded), so membership is a searchsorted
-    probe — O(Q log M) per chromatid and O(n·Q) memory, not the O(n·M·Q)
-    equality broadcast that OOMs when painting biobank-scale loci chunks."""
-
-    def one(mrow, qrow):
-        idx = jnp.searchsorted(mrow, qrow)
-        idx = jnp.minimum(idx, mrow.shape[0] - 1)
-        return (mrow[idx] == qrow) & (qrow < _big())
-
+    Membership is an any-equal broadcast reduce over the (small, BIG-padded)
+    mutation axis — fused by XLA, no gathers."""
     lead = mut.shape[:-1]
-    f = one
-    for _ in lead:
-        f = jax.vmap(f)
-    return f(mut, jnp.broadcast_to(q, lead + q.shape[-1:]))
+    q = jnp.broadcast_to(q, lead + q.shape[-1:])
+    hit = jnp.any(mut[..., None, :] == q[..., :, None], axis=-1)
+    return hit & (q < _big())

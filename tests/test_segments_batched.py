@@ -1,0 +1,232 @@
+"""Oracles for the batched transposed-layout segment primitives.
+
+The meiosis merge (`segments.meiose`) is checked against the *functional*
+definition of a gamete — at every position q the child carries the founder
+hap of the parent chromatid that is active there (`recombine`,
+`/root/reference/src/Simulation.cpp:2903-2958`) — rather than against one
+particular boundary-list encoding, because the merge_ibd=True mode
+deliberately keeps probe-equivalent duplicate boundaries (see the meiose
+docstring). The .int-fidelity mode (merge_ibd=False) is additionally pinned
+to the exact part-splitting encoding: unique positions, every crossover a
+boundary.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from geneevolve_tpu.core import segments
+
+BIG = segments._big()
+
+
+def np_active(xo_row, start, q):
+    """Reference chromatid-at-q: (start + #{xo <= q}) % 2."""
+    xo = xo_row[xo_row < BIG]
+    return (start + np.searchsorted(xo, q, side="right")) % 2
+
+
+def np_hap_at(st_row, hap_row, q):
+    st = st_row
+    idx = np.searchsorted(st, q, side="right") - 1
+    return hap_row[idx]
+
+
+def random_ledger(rng, n, S, n_real_max, length=10_000_000):
+    st = np.full((n, 2, S), BIG, dtype=np.int64)
+    hap = np.zeros((n, 2, S), dtype=np.int32)
+    for i in range(n):
+        for c in range(2):
+            k = rng.integers(1, n_real_max + 1)
+            pos = np.sort(rng.choice(length, size=k, replace=False))
+            pos[0] = 0  # ledger invariant: first boundary = chr start
+            st[i, c, :k] = pos
+            hap[i, c, :k] = rng.integers(0, 1000, size=k)
+    return st, hap
+
+
+@pytest.mark.parametrize("merge_ibd", [True, False])
+def test_meiose_probe_oracle(merge_ibd):
+    rng = np.random.default_rng(0)
+    n, S, K = 64, 20, 7
+    st, hap = random_ledger(rng, n, S, 12)
+    xo = np.full((n, K), BIG, dtype=np.int64)
+    for i in range(n):
+        k = rng.integers(0, K)
+        xo[i, :k] = np.sort(rng.choice(10_000_000, size=k, replace=False))
+    sh = rng.integers(0, 2, size=n)
+
+    c_st, c_hap, nv = segments.meiose(
+        jnp.asarray(st, dtype=segments.pos_dtype()),
+        jnp.asarray(hap),
+        jnp.asarray(xo, dtype=segments.pos_dtype()),
+        jnp.asarray(sh),
+        S + K + 2,
+        merge_ibd,
+    )
+    c_st = np.asarray(c_st)
+    c_hap = np.asarray(c_hap)
+    nv = np.asarray(nv)
+
+    q = np.sort(rng.choice(10_000_000, size=200, replace=False))
+    for i in range(n):
+        # probe the child's ledger
+        got = np_hap_at(c_st[i], c_hap[i], q)
+        # expected: hap of the active parent chromatid at q
+        act = np_active(xo[i], sh[i], q)
+        want = np.where(
+            act == 0,
+            np_hap_at(st[i, 0], hap[i, 0], q),
+            np_hap_at(st[i, 1], hap[i, 1], q),
+        )
+        np.testing.assert_array_equal(got, want, err_msg=f"child {i}")
+        # ledger structure: starts at chr start, sorted, BIG-padded suffix
+        assert c_st[i, 0] == 0
+        valid = c_st[i][c_st[i] < BIG]
+        assert len(valid) == nv[i]
+        assert np.all(np.diff(valid) >= 0)
+        assert np.all(c_st[i][len(valid):] >= BIG)
+        if not merge_ibd:
+            # exact part splitting: unique positions, every real crossover
+            # inside the chromosome is a boundary
+            assert len(np.unique(valid)) == len(valid)
+            for x in xo[i][xo[i] < BIG]:
+                assert x in valid
+
+
+def test_meiose_no_duplicate_accumulation():
+    """Repeated self-meiosis must not grow the ledger via chr-start or
+    boundary duplicates (the merge_ibd=True mode keeps probe-equivalent
+    duplicates only when a crossover lands exactly on a boundary)."""
+    rng = np.random.default_rng(1)
+    n, S = 16, 40
+    st = np.full((n, 2, S), BIG, dtype=np.int64)
+    hap = np.zeros((n, 2, S), dtype=np.int32)
+    st[:, :, 0] = 0
+    hap[:, 0, 0] = np.arange(n) * 2
+    hap[:, 1, 0] = np.arange(n) * 2 + 1
+    st_j = jnp.asarray(st, dtype=segments.pos_dtype())
+    hap_j = jnp.asarray(hap)
+    counts = []
+    for g in range(8):
+        r = np.random.default_rng(100 + g)
+        xo = np.full((n, 4), BIG, dtype=np.int64)
+        for i in range(n):
+            k = r.integers(0, 3)
+            xo[i, :k] = np.sort(r.choice(10_000_000, size=k, replace=False))
+        sh = r.integers(0, 2, size=n)
+        c_st, c_hap, nv = segments.meiose(
+            st_j, hap_j, jnp.asarray(xo, dtype=segments.pos_dtype()),
+            jnp.asarray(sh), S, True,
+        )
+        st_j = jnp.stack([c_st, c_st[::-1]], axis=1)
+        hap_j = jnp.stack([c_hap, c_hap[::-1]], axis=1)
+        counts.append(int(np.asarray(nv).max()))
+    # ~2 crossovers per gen per chromatid pair: valid boundaries stay
+    # near 1 + total crossovers, far below the duplicate-per-gen failure
+    assert counts[-1] <= 1 + 8 * 4
+
+
+def test_inherit_mutations_oracle():
+    rng = np.random.default_rng(2)
+    n, M, K, Mn, cap = 48, 6, 5, 4, 14
+    mut = np.full((n, 2, M), BIG, dtype=np.int64)
+    for i in range(n):
+        for c in range(2):
+            k = rng.integers(0, M + 1)
+            mut[i, c, :k] = np.sort(
+                rng.choice(1_000_000, size=k, replace=False)
+            )
+    xo = np.full((n, K), BIG, dtype=np.int64)
+    for i in range(n):
+        k = rng.integers(0, K)
+        xo[i, :k] = np.sort(rng.choice(1_000_000, size=k, replace=False))
+    sh = rng.integers(0, 2, size=n)
+    new = np.full((n, Mn), BIG, dtype=np.int64)
+    for i in range(n):
+        k = rng.integers(0, Mn + 1)
+        new[i, :k] = rng.choice(1_000_000, size=k, replace=False)
+
+    got, nv = segments.inherit_mutations(
+        jnp.asarray(mut, dtype=segments.pos_dtype()),
+        jnp.asarray(xo, dtype=segments.pos_dtype()),
+        jnp.asarray(sh),
+        jnp.asarray(new, dtype=segments.pos_dtype()),
+        cap,
+    )
+    got = np.asarray(got)
+    for i in range(n):
+        keep = set()
+        for c in range(2):
+            for p in mut[i, c][mut[i, c] < BIG]:
+                if np_active(xo[i], sh[i], p) == c:
+                    keep.add(int(p))
+        keep |= set(int(p) for p in new[i][new[i] < BIG])
+        want = np.sort(np.array(sorted(keep), dtype=np.int64))
+        valid = got[i][got[i] < BIG]
+        np.testing.assert_array_equal(valid, want, err_msg=f"row {i}")
+
+
+def test_sample_point_process_law():
+    key = jax.random.key(0)
+    n, cap = 20_000, 16
+    nbins = 40
+    width = 1000
+    bp = jnp.arange(nbins, dtype=segments.pos_dtype()) * width
+    mass = np.full(nbins, 0.1, dtype=np.float32)
+    mass[0] = 0.0
+    cum = jnp.asarray(np.cumsum(mass))
+    lam = float(mass.sum())
+    pos = np.asarray(
+        segments.sample_point_process(key, n, cap, cum, lam, bp, width, False)
+    )
+    counts = (pos < BIG).sum(axis=1)
+    # Poisson(3.9) mean/var
+    assert abs(counts.mean() - lam) < 0.05
+    assert abs(counts.var() - lam) < 0.15
+    # rows sorted, padding contiguous at the end
+    for i in range(0, n, 997):
+        row = pos[i]
+        v = row[row < BIG]
+        assert np.all(np.diff(v) >= 0)
+        assert np.all(row[len(v):] >= BIG)
+    # positions uniform across bins 1..nbins-1 (bin 0 has zero mass)
+    v = pos[pos < BIG]
+    assert v.min() >= width  # nothing lands in the zero-mass first bin
+    hist, _ = np.histogram(v // width, bins=np.arange(nbins + 1))
+    expected = len(v) / (nbins - 1)
+    assert np.all(np.abs(hist[1:] - expected) < 6 * np.sqrt(expected))
+
+
+def test_hap_at_and_flip_mask_oracle():
+    rng = np.random.default_rng(3)
+    n, S, Q = 32, 15, 50
+    st, hap = random_ledger(rng, n, S, 10)
+    q = np.sort(rng.choice(10_000_000, size=Q, replace=False))
+    got = np.asarray(
+        segments.hap_at(
+            jnp.asarray(st, dtype=segments.pos_dtype()),
+            jnp.asarray(hap),
+            jnp.asarray(q, dtype=segments.pos_dtype()),
+        )
+    )
+    for i in range(n):
+        for c in range(2):
+            np.testing.assert_array_equal(
+                got[i, c], np_hap_at(st[i, c], hap[i, c], q)
+            )
+    # flip mask: exact membership
+    mut = np.full((n, 2, 6), BIG, dtype=np.int64)
+    mut[0, 0, 0] = q[3]
+    mut[5, 1, :2] = [q[7], q[7] + 1]
+    mask = np.asarray(
+        segments.mutation_flip_mask(
+            jnp.asarray(mut, dtype=segments.pos_dtype()),
+            jnp.asarray(q, dtype=segments.pos_dtype()),
+        )
+    )
+    want = np.zeros((n, 2, Q), dtype=bool)
+    want[0, 0, 3] = True
+    want[5, 1, 7] = True
+    np.testing.assert_array_equal(mask, want)
