@@ -38,7 +38,8 @@ from geneevolve_tpu.utils import telemetry
 @partial(
     jax.jit,
     static_argnames=(
-        "s_cap", "m_cap", "xo_cap", "mn_cap", "merge_ibd", "has_mut"
+        "s_cap", "m_cap", "xo_cap", "mn_cap", "merge_ibd", "has_mut",
+        "xo_grid_w", "mut_grid_w",
     ),
 )
 def _reproduce_all(
@@ -61,6 +62,14 @@ def _reproduce_all(
     mn_cap: int,
     merge_ibd: bool = True,
     has_mut: bool = True,
+    xo_grid=None,  # (nchr, T, Wx+3) inverse-CDF grid (build_cdf_grid)
+    mut_grid=None,
+    bp0=None,  # (nchr,) affine anchors, or None
+    mut_bp0=None,
+    bp_step=None,  # (nchr,)
+    mut_bp_step=None,
+    xo_grid_w: int = 0,
+    mut_grid_w: int = 0,
 ):
     """All chromosomes of `reproduce` (`Simulation.cpp:2394-2493`) for all
     children in one compiled call: vmap over the chromosome axis, with the
@@ -71,13 +80,25 @@ def _reproduce_all(
     through untouched."""
     nc = father.shape[0]
 
-    def per_chr(st, hp, mu, k, bp_c, xoc, xol, bw, mbp, mcum, mlam):
+    def per_chr(
+        st, hp, mu, k, bp_c, xoc, xol, bw, mbp, mcum, mlam, ci,
+    ):
+        # grid/affine tables are indexed by the chromosome id inside the
+        # body (a single-row gather) so the lax.map xs tuple stays plain
+        xg = xo_grid[ci] if xo_grid is not None else None
+        mg = mut_grid[ci] if mut_grid is not None else None
+        b0 = bp0[ci] if bp0 is not None else None
+        mb0 = mut_bp0[ci] if mut_bp0 is not None else None
+        bstep = bp_step[ci] if bp0 is not None else None
+        mbstep = mut_bp_step[ci] if mut_bp0 is not None else None
         k_xo_f, k_xo_m, k_sh, k_mp, k_mc = jax.random.split(k, 5)
         xo_f = segments.sample_point_process(
-            k_xo_f, nc, xo_cap, xoc, xol, bp_c, bw, False
+            k_xo_f, nc, xo_cap, xoc, xol, bp_c, bw, False,
+            grid=xg, grid_w=xo_grid_w, bp0=b0, bp_step=bstep,
         )
         xo_m = segments.sample_point_process(
-            k_xo_m, nc, xo_cap, xoc, xol, bp_c, bw, False
+            k_xo_m, nc, xo_cap, xoc, xol, bp_c, bw, False,
+            grid=xg, grid_w=xo_grid_w, bp0=b0, bp_step=bstep,
         )
         sh = jax.random.randint(k_sh, (nc, 2), 0, 2)
         st0, hap0, nv0 = segments.meiose(
@@ -91,7 +112,8 @@ def _reproduce_all(
 
         if has_mut:
             new = segments.sample_point_process(
-                k_mp, nc, mn_cap, mcum, mlam, mbp, 0, True
+                k_mp, nc, mn_cap, mcum, mlam, mbp, 0, True,
+                grid=mg, grid_w=mut_grid_w, bp0=mb0, bp_step=mbstep,
             )
             which = jax.random.randint(k_mc, (nc, mn_cap), 0, 2)
             big = segments._big()
@@ -121,6 +143,7 @@ def _reproduce_all(
     xs = (
         par_st, par_hap, par_mut, keys,
         bp, xo_cum, xo_lambda, bin_width, mut_bp, mut_cum, mut_lambda,
+        jnp.arange(par_st.shape[0], dtype=jnp.int32),
     )
     if os.environ.get("GE_VMAP_CHR") == "1":
         # batched form: all chromosomes' meioses as one wide program
@@ -916,6 +939,14 @@ class Simulation:
                 self.mn_cap,
                 self.merge_ibd,
                 self.has_mut,
+                sm.xo_grid,
+                sm.mut_grid,
+                sm.bp0,
+                sm.mut_bp0,
+                sm.bp_step,
+                sm.mut_bp_step,
+                sm.xo_grid_w,
+                sm.mut_grid_w,
             )
             # one host sync per generation: the capacity check (sized so
             # this regrows only in pathological runs)

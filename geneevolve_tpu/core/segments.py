@@ -50,6 +50,62 @@ def pos_dtype():
     return jnp.int64 if jax.config.jax_enable_x64 else jnp.int32
 
 
+_GRID_T_MIN = 8192
+_GRID_T_MAX = 1 << 17
+
+
+def build_cdf_grid(cum: np.ndarray, force_t: int = 0, force_w: int = 0):
+    """Host-side inverse-CDF acceleration table for `sample_point_process`.
+
+    For a uniform grid of T cells over [0, total mass), cell t stores
+    `base[t] = searchsorted(cum, t*total/T, 'right')` and the next W+2 CDF
+    values starting at `cum[base[t]-1]`, so a device probe is ONE
+    vectorized row gather plus <=W in-register compares — replacing
+    `jnp.searchsorted`'s log2(K) rounds of per-element gathers (~7 ns each
+    on v5e; 50 ms per (300k, 23) probe set). T doubles until every cell
+    spans at most W_MAX boundaries.
+
+    Returns (table (T, W+3) int32 — col 0 = base, cols 1.. = cum values
+    bitcast to int32, padded with +inf — and W). The device math reproduces
+    `min(searchsorted(cum, u, 'right'), K-1)` bit-exactly for u in
+    [0, total)."""
+    K = len(cum)
+    total = float(cum[-1])
+    W_MAX = 13
+    T = force_t or _GRID_T_MIN
+    while True:
+        v = np.arange(T + 2, dtype=np.float64) * (total / T)
+        # the device computes the cell index in f32, which can land one cell
+        # off near a boundary: each cell's [base, base+W] range therefore
+        # covers its neighbors too
+        base = np.searchsorted(
+            cum, v[:T].astype(np.float32), side="right"
+        )
+        base = np.minimum(base, np.concatenate([[base[0]], base[:-1]]))
+        hi = np.searchsorted(cum, v[2:].astype(np.float32), side="left")
+        W = int(np.max(hi - base)) if K else 0
+        if force_t or W <= W_MAX or T >= _GRID_T_MAX:
+            break
+        T *= 2
+    if force_w:
+        if W > force_w:
+            raise ValueError(
+                f"cdf grid W={W} exceeds forced W={force_w} at T={T}"
+            )
+        W = force_w
+    else:
+        W = min(max(W, 1), W_MAX)
+    idx = base[:, None] - 1 + np.arange(W + 2)[None, :]
+    vals = np.full((T, W + 2), np.inf, dtype=np.float32)
+    ok = (idx >= 0) & (idx < K)
+    vals[ok] = cum[np.clip(idx, 0, K - 1)][ok]
+    vals[idx == -1] = 0.0  # conceptual cum[-1]: mass below the first bin
+    table = np.concatenate(
+        [base.astype(np.int32)[:, None], vals.view(np.int32)], axis=1
+    )
+    return table, W
+
+
 @dataclass(frozen=True)
 class ChromMaps:
     """Static per-chromosome map data. Host-side (numpy): only the stacked
@@ -69,6 +125,10 @@ class ChromMaps:
     mut_bp: np.ndarray  # (Km,)
     mut_cum: np.ndarray  # (Km,) cumulative mutation bin mass
     mut_lambda: float
+    # affine-anchor shortcuts (bp[k] == bp[0] + k*step exactly): lets the
+    # sampler compute anchors arithmetically instead of gathering bp[bins]
+    bp_affine: bool = False
+    mut_bp_affine: bool = False
 
     @staticmethod
     def build(chrom, rmap, mmap=None) -> "ChromMaps":
@@ -84,17 +144,32 @@ class ChromMaps:
             mut_bp = np.zeros((2,), dtype=np_pos)
             mut_cum = np.zeros((2,), dtype=np.float32)
             mut_lambda = 0.0
+        bp = np.asarray(rmap.bp, dtype=np_pos)
+        xo_cum = np.cumsum(p).astype(np.float32)
+
+        def affine(a, w):
+            return bool(
+                len(a) > 1
+                and np.array_equal(a, a[0] + np.arange(len(a)) * w)
+            )
+
         return ChromMaps(
             chrom=int(chrom),
             chr_start=int(rmap.bp[0]),
             chr_end=int(rmap.bp[-1]),
             bin_width=int(rmap.bin_width),
-            bp=np.asarray(rmap.bp, dtype=np_pos),
-            xo_cum=np.cumsum(p).astype(np.float32),
+            bp=bp,
+            xo_cum=xo_cum,
             xo_lambda=float(p.sum()),
             mut_bp=mut_bp,
             mut_cum=mut_cum,
             mut_lambda=mut_lambda,
+            bp_affine=affine(bp, int(rmap.bin_width)),
+            mut_bp_affine=(
+                affine(mut_bp, mut_bp[1] - mut_bp[0])
+                if mmap is not None and len(mut_bp) > 1
+                else False
+            ),
         )
 
 
@@ -113,6 +188,16 @@ class StackedMaps:
     mut_cum: jax.Array  # (nchr, Km)
     mut_lambda: jax.Array  # (nchr,) float32
     chr_start: jax.Array  # (nchr,)
+    # inverse-CDF grids (build_cdf_grid), common T/W across chromosomes
+    xo_grid: jax.Array = None  # (nchr, T, Wx+3) int32
+    xo_grid_w: int = 0  # static
+    mut_grid: jax.Array = None  # (nchr, Tm, Wm+3) int32
+    mut_grid_w: int = 0
+    # affine anchors: bp[c, k] == bp[c, 0] + k*step[c] exactly, all chrs
+    bp0: jax.Array = None  # (nchr,) — None when any chr is non-affine
+    mut_bp0: jax.Array = None
+    bp_step: jax.Array = None  # (nchr,) pos dtype
+    mut_bp_step: jax.Array = None
 
     @staticmethod
     def build(maps) -> "StackedMaps":
@@ -130,6 +215,31 @@ class StackedMaps:
             )
             return jnp.asarray(out, dtype=dtype)
 
+        def grids(cums):
+            """Stacked grids with one T and W for every chromosome."""
+            live = [c for c in cums if len(c) and float(c[-1]) > 0]
+            if not live:
+                return None, 0
+            t_glob = max(build_cdf_grid(c)[0].shape[0] for c in live)
+            built = [
+                build_cdf_grid(c, force_t=t_glob)
+                if len(c) and float(c[-1]) > 0
+                else (None, 0)
+                for c in cums
+            ]
+            w_glob = max(w for _, w in built)
+            inf_bits = np.float32(np.inf).view(np.int32)
+            tables = []
+            for tab, w in built:
+                full = np.full((t_glob, w_glob + 3), inf_bits, np.int32)
+                full[:, 0] = 0
+                if tab is not None:
+                    full[:, : w + 3] = tab
+                tables.append(full)
+            return jnp.asarray(np.stack(tables)), w_glob
+
+        xo_grid, xo_w = grids([m.xo_cum for m in maps])
+        mut_grid, mut_w = grids([m.mut_cum for m in maps])
         return StackedMaps(
             bp=stack([m.bp for m in maps], pos_dtype()),
             xo_cum=stack([m.xo_cum for m in maps], jnp.float32),
@@ -146,6 +256,30 @@ class StackedMaps:
             ),
             chr_start=jnp.asarray(
                 [m.chr_start for m in maps], dtype=pos_dtype()
+            ),
+            xo_grid=xo_grid,
+            xo_grid_w=xo_w,
+            mut_grid=mut_grid,
+            mut_grid_w=mut_w,
+            bp0=(
+                jnp.asarray([m.bp[0] for m in maps], dtype=pos_dtype())
+                if all(m.bp_affine for m in maps)
+                else None
+            ),
+            mut_bp0=(
+                jnp.asarray([m.mut_bp[0] for m in maps], dtype=pos_dtype())
+                if all(m.mut_bp_affine for m in maps)
+                else None
+            ),
+            bp_step=jnp.asarray(
+                [m.bin_width for m in maps], dtype=pos_dtype()
+            ),
+            mut_bp_step=jnp.asarray(
+                [
+                    int(m.mut_bp[1] - m.mut_bp[0]) if len(m.mut_bp) > 1 else 1
+                    for m in maps
+                ],
+                dtype=pos_dtype(),
             ),
         )
 
@@ -203,6 +337,10 @@ def sample_point_process(
     bp: jax.Array,
     width,
     inclusive_bins: bool,
+    grid: jax.Array = None,  # (T, W+3) int32 build_cdf_grid table
+    grid_w: int = 0,  # static W of the grid (0 = use searchsorted)
+    bp0=None,  # affine anchor base (traced scalar) — with bp_step,
+    bp_step=None,  # replaces the bp[bins] gather by arithmetic
 ) -> jax.Array:
     """(n, cap) sorted positions padded with BIG.
 
@@ -225,6 +363,7 @@ def sample_point_process(
     rows (jax.random.poisson returns 0 for rate 0)."""
     if isinstance(lam, (int, float)) and lam <= 0.0:
         return jnp.full((n, cap), _big(), dtype=pos_dtype())
+    K = cum.shape[0]
     k1, k2 = jax.random.split(key, 2)
     counts = jnp.minimum(jax.random.poisson(k1, lam, (n,)), cap)
     gaps = -jnp.log1p(-jax.random.uniform(k2, (n, cap + 1), dtype=jnp.float32))
@@ -235,18 +374,50 @@ def sample_point_process(
         axis=1,
     )
     u = s[:, :cap] / jnp.maximum(denom, 1e-30)[:, None] * cum[-1]
-    bins = jnp.searchsorted(cum, u, side="right")
-    bins = jnp.minimum(bins, cum.shape[0] - 1)
-    lo_mass = jnp.where(bins > 0, cum[jnp.maximum(bins - 1, 0)], 0.0)
-    mass = jnp.maximum(cum[bins] - lo_mass, 1e-30)
+    if grid is not None and grid_w > 0:
+        # inverse-CDF grid (build_cdf_grid): one row gather + <=W compares
+        T = grid.shape[0]
+        t = jnp.clip(
+            (u * (jnp.float32(T) / cum[-1])).astype(jnp.int32), 0, T - 1
+        )
+        row = grid[t]  # (n, cap, W+3) int32 — the only gather
+        base = row[..., 0]
+        rcum = jax.lax.bitcast_convert_type(row[..., 1:], jnp.float32)
+        cnt = jnp.sum(
+            (rcum[..., 1 : grid_w + 1] <= u[..., None]).astype(jnp.int32),
+            axis=-1,
+        )
+        cnt = jnp.minimum(cnt, (K - 1) - base)  # the old min(bins, K-1)
+        bins = base + cnt
+        jsel = jnp.arange(grid_w + 2)
+        lo_mass = jnp.sum(
+            jnp.where(jsel == cnt[..., None], rcum, 0.0), axis=-1
+        )
+        hi_mass = jnp.sum(
+            jnp.where(jsel == cnt[..., None] + 1, rcum, 0.0), axis=-1
+        )
+        mass = jnp.maximum(hi_mass - lo_mass, 1e-30)
+    else:
+        bins = jnp.searchsorted(cum, u, side="right")
+        bins = jnp.minimum(bins, K - 1)
+        lo_mass = jnp.where(bins > 0, cum[jnp.maximum(bins - 1, 0)], 0.0)
+        mass = jnp.maximum(cum[bins] - lo_mass, 1e-30)
     v = jnp.clip((u - lo_mass) / mass, 0.0, 1.0 - 1e-7)
+    if bp0 is not None:
+        # affine anchors: bp[k] == bp0 + k*step exactly (checked at load)
+        bp_bin = (bp0 + bins.astype(pos_dtype()) * bp_step).astype(
+            pos_dtype()
+        )
+        bp_prev = bp_bin - bp_step
+    else:
+        bp_bin = bp[bins]
+        bp_prev = bp[jnp.maximum(bins - 1, 0)]
     if inclusive_bins:
-        lo = bp[jnp.maximum(bins - 1, 0)]
-        span = (bp[bins] - lo + 1).astype(jnp.float32)
-        pos = lo + jnp.floor(v * span).astype(pos_dtype())
+        span = (bp_bin - bp_prev + 1).astype(jnp.float32)
+        pos = bp_prev + jnp.floor(v * span).astype(pos_dtype())
     else:
         w = jnp.asarray(width, dtype=jnp.float32)
-        pos = bp[bins] + jnp.floor(v * w).astype(pos_dtype())
+        pos = bp_bin + jnp.floor(v * w).astype(pos_dtype())
     return jnp.where(
         jnp.arange(cap)[None, :] < counts[:, None], pos, _big()
     )
@@ -289,16 +460,48 @@ def _seg_lookup_T(pos_T: jax.Array, hap_T: jax.Array, q_T: jax.Array) -> jax.Arr
     )
 
 
-def _sort_T(operands, is_stable=True):
-    """Variadic sort along axis 0 (the candidates axis) of (L, nc) arrays.
+def rank_compact_T(cand, valid, cap, *vals):
+    """Stable compaction-sort of (L, nc) columns without a sort HLO.
 
-    XLA's TPU sort along a non-minor axis vectorizes across lanes (~0.4
-    ns/element measured on v5e); the same sort along the minor axis is
-    ~50x slower. Every sort in this module therefore runs in the
-    transposed candidates-leading layout."""
-    return jax.lax.sort(
-        operands, dimension=0, is_stable=is_stable, num_keys=1
+    Each valid element's output slot is its rank among valid elements by
+    (value, candidate index); the first `cap` slots are materialized by
+    one-hot select-reduces. Invalid elements are dropped; output positions
+    past the per-column valid count read BIG (first returned array) / 0
+    (the rest). Everything is broadcast compare/select-reduce — O(L^2) VPU
+    work that XLA fuses without materializing the (L, L, nc) intermediates.
+    `jax.lax.sort` would be O(L log^2 L) but hits pathological
+    compile-times (minutes to hours) on TPU at these batch shapes, and
+    XLA:TPU scatters/per-row gathers run ~7-10 ns per element — both
+    measured on v5e, hence this formulation.
+
+    Returns (out_st, *out_vals, n_valid)."""
+    L, nc = cand.shape
+    vi = valid.astype(jnp.int32)
+    # rank_i = #{valid j: (c_j, j) < (c_i, i)}; i on axis 0, j on axis 1
+    lt = cand[None, :, :] < cand[:, None, :]
+    tie = (cand[None, :, :] == cand[:, None, :]) & (
+        jnp.arange(L)[None, :, None] < jnp.arange(L)[:, None, None]
     )
+    rank = jnp.sum(
+        ((lt | tie) & valid[None, :, :]).astype(jnp.int32), axis=1
+    )
+    n_valid = jnp.sum(vi, axis=0)
+    slot = jnp.arange(cap)[:, None, None]  # (cap, 1, 1)
+    hit = (rank[None, :, :] == slot) & valid[None, :, :]  # (cap, L, nc)
+    pad = jnp.arange(cap)[:, None] >= n_valid[None, :]
+    out_st = jnp.where(
+        pad,
+        _big(),
+        jnp.sum(jnp.where(hit, cand[None, :, :], 0), axis=1),
+    ).astype(cand.dtype)
+    outs = [out_st]
+    for v in vals:
+        outs.append(
+            jnp.where(
+                pad, 0, jnp.sum(jnp.where(hit, v[None, :, :], 0), axis=1)
+            ).astype(v.dtype)
+        )
+    return (*outs, n_valid)
 
 
 def meiose(
@@ -315,9 +518,9 @@ def meiose(
     The child ledger is the merge of three sorted candidate lists — the
     chromosome start + crossover positions, and the two parent chromatids'
     boundaries (each kept iff the gamete copies that chromatid there) —
-    realized as ONE stable two-operand `lax.sort` along the transposed
-    candidates axis. Replaces the reference's sequential `recombine` part
-    walk (`/root/reference/src/Simulation.cpp:2903-2958`).
+    realized as one rank-select compaction (`rank_compact_T`). Replaces the
+    reference's sequential `recombine` part walk
+    (`/root/reference/src/Simulation.cpp:2903-2958`).
 
     `merge_ibd=True` (the main-loop mode) leaves same-position /
     same-founder adjacent duplicates in place: every downstream consumer
@@ -362,9 +565,10 @@ def meiose(
     hX = jnp.where(
         act[: 1 + K] == 0, _seg_lookup_T(A, hA, X), _seg_lookup_T(B, hB, X)
     )
-    hap_cand = jnp.concatenate([hX, hA, hB], axis=0)  # (L, nc)
-    st = jnp.where(valid, cand, big)
-    st, hap = _sort_T([st, hap_cand.astype(jnp.int32)])
+    hap_cand = jnp.concatenate([hX, hA, hB], axis=0).astype(jnp.int32)
+    st, hap, n_valid = rank_compact_T(
+        jnp.where(valid, cand, big), valid, capacity, hap_cand
+    )
     if not merge_ibd:
         # exact part splitting: drop earlier entries of equal positions
         # (zero-length parts the reference never emits), keep the last
@@ -372,12 +576,13 @@ def meiose(
             [(st[1:] != st[:-1]) | (st[1:] >= big), jnp.ones((1, nc), bool)],
             axis=0,
         )
-        st = jnp.where(last, st, big)
-        st, hap = _sort_T([st, hap])
-    n_valid = jnp.sum(st < big, axis=0)  # pre-truncation: host overflow check
+        keep = last & (st < big)
+        st, hap, n_valid = rank_compact_T(
+            jnp.where(keep, st, big), keep, capacity, hap
+        )
     return (
-        st[:capacity].T,
-        hap[:capacity].T.astype(par_hap.dtype),
+        st.T,
+        hap.T.astype(par_hap.dtype),
         n_valid,
     )
 
@@ -404,18 +609,21 @@ def inherit_mutations(
     k1 = jnp.where(
         (m1 < big) & (_active_at_T(xo_T, start_hap, m1) == 1), m1, big
     )
-    allm = jnp.concatenate([k0, k1, new_mut.T], axis=0)
-    allm = _sort_T([allm], is_stable=False)[0]
-    dup = jnp.concatenate(
-        [
-            jnp.zeros((1, nc), dtype=bool),
-            (allm[1:] == allm[:-1]) & (allm[1:] < big),
-        ],
-        axis=0,
+    allm = jnp.concatenate([k0, k1, new_mut.T], axis=0)  # (Lm, nc)
+    # dedupe before ranking: keep only the first of each repeated position
+    # (the reference flips on membership, not count)
+    Lm = allm.shape[0]
+    first = ~jnp.any(
+        (allm[None, :, :] == allm[:, None, :])
+        & (jnp.arange(Lm)[None, :, None] < jnp.arange(Lm)[:, None, None])
+        & (allm[:, None, :] < big),
+        axis=1,
     )
-    allm = _sort_T([jnp.where(dup, big, allm)], is_stable=False)[0]
-    n_valid = jnp.sum(allm < big, axis=0)
-    return allm[:capacity].T, n_valid
+    keep = first & (allm < big)
+    allm, n_valid = rank_compact_T(
+        jnp.where(keep, allm, big), keep, capacity
+    )
+    return allm.T, n_valid
 
 
 def hap_at(seg_st: jax.Array, seg_hap: jax.Array, q: jax.Array) -> jax.Array:

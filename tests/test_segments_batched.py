@@ -199,6 +199,42 @@ def test_sample_point_process_law():
     assert np.all(np.abs(hist[1:] - expected) < 6 * np.sqrt(expected))
 
 
+def test_cdf_grid_matches_searchsorted():
+    """The inverse-CDF grid path must reproduce the searchsorted path
+    bit-exactly for the same RNG key (same draws, same bin resolution)."""
+    rng = np.random.default_rng(7)
+    nbins = 300
+    width = 50_000
+    mass = rng.gamma(0.4, 1.0, size=nbins).astype(np.float32) * 0.01
+    mass[0] = 0.0
+    mass[rng.choice(nbins, 40, replace=False)] = 0.0  # zero-mass runs
+    cum = jnp.asarray(np.cumsum(mass))
+    bp = (jnp.arange(nbins) * width).astype(segments.pos_dtype())
+    lam = float(mass.sum())
+    table, W = segments.build_cdf_grid(np.cumsum(mass))
+    n, cap = 5000, 12
+    for inclusive in (False, True):
+        for affine in (False, True):
+            key = jax.random.key(11)
+            ref = segments.sample_point_process(
+                key, n, cap, cum, lam, bp, width, inclusive
+            )
+            got = segments.sample_point_process(
+                key, n, cap, cum, lam, bp, width, inclusive,
+                grid=jnp.asarray(table), grid_w=W,
+                bp0=jnp.asarray(bp[0]) if affine else None,
+                bp_step=(
+                    jnp.asarray(width, segments.pos_dtype())
+                    if affine
+                    else None
+                ),
+            )
+            np.testing.assert_array_equal(
+                np.asarray(got), np.asarray(ref),
+                err_msg=f"inclusive={inclusive} affine={affine}",
+            )
+
+
 def test_hap_at_and_flip_mask_oracle():
     rng = np.random.default_rng(3)
     n, S, Q = 32, 15, 50
