@@ -48,6 +48,8 @@ def save(sim: "Simulation", gen: int, path: str) -> None:
         data[f"{pre}.seg_st"] = np.asarray(st.seg_st[:, : st.n])
         data[f"{pre}.seg_hap"] = np.asarray(st.seg_hap[:, : st.n])
         data[f"{pre}.mut"] = np.asarray(st.mut[:, : st.n])
+        if st.cv is not None:
+            data[f"{pre}.cv"] = np.asarray(st.cv[:, : st.n])
         data[f"{pre}.sex"] = st.sex
         data[f"{pre}.ids"] = st.ids
         for k, v in st.ped.items():
@@ -105,11 +107,20 @@ def load(sim: "Simulation", path: str) -> int:
             for k in z.files
             if k.startswith(f"{pre}.comp.")
         ]
+        cv = None
+        if sim.resident_cv:
+            if f"{pre}.cv" in z.files:
+                cv = sim._put(jnp.asarray(z[f"{pre}.cv"]))
+            else:  # older checkpoint: rebuild from the ledger
+                cv = sim._put(
+                    sim._gather_resident_cv(seg_st, seg_hap, mut)
+                )
         p.state = PopState(
             n=int(z[f"{pre}.n"]),
             seg_st=seg_st,
             seg_hap=seg_hap,
             mut=mut,
+            cv=cv,
             sex=z[f"{pre}.sex"],
             ids=z[f"{pre}.ids"],
             ped={k: z[f"{pre}.ped.{k}"] for k in ped_keys},

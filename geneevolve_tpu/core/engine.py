@@ -70,6 +70,8 @@ def _reproduce_all(
     mut_bp_step=None,
     xo_grid_w: int = 0,
     mut_grid_w: int = 0,
+    cv=None,  # (nchr, n, 2, C) uint8 resident CV alleles, or None
+    cv_bp=None,  # (nchr, C) CV positions (all phenotypes concatenated)
 ):
     """All chromosomes of `reproduce` (`Simulation.cpp:2394-2493`) for all
     children in one compiled call: vmap over the chromosome axis, with the
@@ -77,12 +79,25 @@ def _reproduce_all(
     serves every chromosome and every generation of a fixed population
     size. `has_mut=False` (no mutation map anywhere) skips the whole
     mutation pipeline statically — the BIG-padded carrier arrays pass
-    through untouched."""
+    through untouched.
+
+    `cv` is the resident CV-allele matrix (single-population fast path):
+    the child's alleles are the phase-selected parent alleles XOR the de
+    novo flips, so `ras_find_cv`'s founder-matrix gathers
+    (`Simulation.cpp:2752-2815`) never run after generation 0 — the same
+    resident-matrix technique the dense engine uses (DESIGN.md). The
+    resident values are bit-identical to re-gathering from the ledger:
+    inherited mutations ride along in the copied parent allele, and a de
+    novo flip is suppressed where the active parent chromatid already
+    carries a mutation at that position (membership, not parity —
+    `Simulation.cpp:2961-2970`)."""
     nc = father.shape[0]
 
     def per_chr(
         st, hp, mu, k, bp_c, xoc, xol, bw, mbp, mcum, mlam, ci,
     ):
+        cvr = cv[ci] if cv is not None else None  # (n, 2, C)
+        q = cv_bp[ci] if cv_bp is not None else None  # (C,)
         # grid/affine tables are indexed by the chromosome id inside the
         # body (a single-row gather) so the lax.map xs tuple stays plain
         xg = xo_grid[ci] if xo_grid is not None else None
@@ -136,8 +151,46 @@ def _reproduce_all(
                 dtype=segments.pos_dtype(),
             )
             mut_used = jnp.zeros((), dtype=jnp.int32)
+
+        if cvr is not None:
+            def gamete_cv(par_idx, xo, sh_g, new_g):
+                par = cvr[par_idx]  # (nc, 2, C) row gather
+                phase = (
+                    sh_g[:, None]
+                    + jnp.sum(
+                        (xo[:, :, None] <= q[None, None, :]).astype(
+                            jnp.int32
+                        ),
+                        axis=1,
+                    )
+                ) % 2  # (nc, C)
+                g = jnp.where(phase == 0, par[:, 0, :], par[:, 1, :])
+                if has_mut:
+                    pm = mu[par_idx]  # (nc, 2, M)
+                    hit = lambda rows: jnp.any(
+                        rows[:, :, None] == q[None, None, :], axis=1
+                    )
+                    carried = jnp.where(
+                        phase == 0, hit(pm[:, 0]), hit(pm[:, 1])
+                    )
+                    flip = hit(new_g) & ~carried
+                    g = jnp.where(flip, 1 - g, g)
+                return g.astype(jnp.uint8)
+
+            nf = new_f if has_mut else None
+            nm = new_m if has_mut else None
+            child_cv = jnp.stack(
+                [
+                    gamete_cv(father, xo_f, sh[:, 0], nf),
+                    gamete_cv(mother, xo_m, sh[:, 1], nm),
+                ],
+                axis=1,
+            )  # (nc, 2, C)
+        else:
+            # 1-wide dummy (zero-size arrays break lax.map's unbatching)
+            child_cv = jnp.zeros((nc, 2, 1), dtype=jnp.uint8)
         seg_used = jnp.maximum(jnp.max(nv0), jnp.max(nv1))
-        return child_st, child_hap, child_mut, seg_used, mut_used
+        return child_st, child_hap, child_mut, child_cv, seg_used, mut_used
 
     keys = jax.random.split(key, par_st.shape[0])
     xs = (
@@ -147,7 +200,7 @@ def _reproduce_all(
     )
     if os.environ.get("GE_VMAP_CHR") == "1":
         # batched form: all chromosomes' meioses as one wide program
-        c_st, c_hap, c_mut, su, mu_used = jax.vmap(per_chr)(*xs)
+        c_st, c_hap, c_mut, c_cv, su, mu_used = jax.vmap(per_chr)(*xs)
     else:
         # chunked scan over chromosomes (vmap width GE_CHR_BATCH per
         # iteration): same values as full vmap (per-chromosome keys are
@@ -166,10 +219,10 @@ def _reproduce_all(
             L = 2 * s_cap + xo_cap + 1
             b = max(1, int(3e9 / (L * max(nc, 1) * 4 * 8)))
         b = max(1, min(b, par_st.shape[0]))
-        c_st, c_hap, c_mut, su, mu_used = jax.lax.map(
+        c_st, c_hap, c_mut, c_cv, su, mu_used = jax.lax.map(
             lambda a: per_chr(*a), xs, batch_size=b
         )
-    return c_st, c_hap, c_mut, jnp.max(su), jnp.max(mu_used)
+    return c_st, c_hap, c_mut, c_cv, jnp.max(su), jnp.max(mu_used)
 
 
 @jax.jit
@@ -221,6 +274,31 @@ def _ad_all(
     return jnp.sum(A, axis=0), jnp.sum(D, axis=0), c
 
 
+@jax.jit
+def _ad_resident(
+    cv,  # (nchr, n, 2, ncv) uint8 resident CV alleles (one phenotype)
+    a_row,  # (nchr, ncv) — the single population's additive effects
+    d_row,
+    dominance_on,  # () bool
+    n_real,  # () int32
+):
+    """A/D from the resident CV matrix (single-population fast path): no
+    ledger probes, no founder-matrix gathers — `ras_compute_AD`
+    (`Simulation.cpp:2624-2749`) as pure elementwise math + reductions.
+    Bit-identical to `_ad_all`: the resident alleles equal the gathered
+    ones by construction and the float math is the same function."""
+
+    def per_chr(c, at, dt):
+        a_b = jnp.broadcast_to(at[None, :], c[:, 0].shape)
+        d_b = jnp.broadcast_to(dt[None, :], c[:, 0].shape)
+        return phenotype.additive_dominance_chr(
+            c[:, 0], c[:, 1], a_b, a_b, d_b, d_b, dominance_on, n_real
+        )
+
+    A, D = jax.vmap(per_chr)(cv, a_row, d_row)
+    return jnp.sum(A, axis=0), jnp.sum(D, axis=0)
+
+
 # --------------------------------------------------------------------------
 # runtime state
 
@@ -253,13 +331,16 @@ class PopState:
     seg_st: jax.Array  # (nchr, n, 2, S)
     seg_hap: jax.Array
     mut: jax.Array  # (nchr, n, 2, M)
-    sex: np.ndarray  # (n,) 1/2
-    ids: np.ndarray  # (n,) 0-based birth id
-    ped: Dict[str, np.ndarray]  # father, mother, ff, fm, mf, mm
-    comp: Dict[str, np.ndarray]  # A D G C E F P -> (npheno, n)
-    mv: np.ndarray
-    sv: np.ndarray  # standardized selection value
-    svf: np.ndarray  # selection probability
+    # resident CV alleles (nchr, n, 2, npheno*ncv_pad) uint8 — the
+    # single-population fast path for A/D; None in multi-population runs
+    cv: Optional[jax.Array] = None
+    sex: np.ndarray = None  # (n,) 1/2
+    ids: np.ndarray = None  # (n,) 0-based birth id
+    ped: Dict[str, np.ndarray] = None  # father, mother, ff, fm, mf, mm
+    comp: Dict[str, np.ndarray] = None  # A D G C E F P -> (npheno, n)
+    mv: np.ndarray = None
+    sv: np.ndarray = None  # standardized selection value
+    svf: np.ndarray = None  # selection probability
 
 
 @dataclass
@@ -529,6 +610,23 @@ class Simulation:
             self.cv_bp_dev.append(jnp.asarray(gb, dtype=segments.pos_dtype()))
             self.ncv_real.append(real)
 
+        # resident CV-allele fast path: single population only (the A/D
+        # effect tables are root-population-resolved per chromatid via the
+        # founder hap index, which the resident matrix does not carry)
+        self.ncv_pad = max(ncv_max, 1)
+        self.resident_cv = (
+            self.n_pop == 1
+            and os.environ.get("GE_NO_RESIDENT_CV") != "1"
+        )
+        if self.resident_cv:
+            # (nchr, npheno*ncv_pad): all phenotypes' CV positions on one
+            # axis, in cv_bp_dev order
+            self.cv_bp_all = jnp.concatenate(
+                [self.cv_bp_dev[j] for j in range(self.n_pheno)], axis=1
+            )
+        else:
+            self.cv_bp_all = None
+
         # migration / output-generation list
         self.migration = (
             tables.read_migration(cfg.file_migration, self.n_pop, self.tot_gen)
@@ -616,10 +714,28 @@ class Simulation:
         mut = segments.empty_mutations_stacked(
             len(self.chrs), n, self.m_cap
         )
+        cv0 = None
+        if self.resident_cv:
+            # founder i's chromatids read founder haps 2i / 2i+1 directly
+            # (`ras_initial_human_gen0`, `Simulation.cpp:3024-3035`)
+            cv0 = jnp.concatenate(
+                [
+                    jnp.stack(
+                        [
+                            self.global_cv[j][:, 0 : 2 * n : 2, :],
+                            self.global_cv[j][:, 1 : 2 * n : 2, :],
+                        ],
+                        axis=2,
+                    )
+                    for j in range(self.n_pheno)
+                ],
+                axis=3,
+            )  # (nchr, n, 2, npheno*ncv_pad)
         return PopState(
             seg_st=self._put(seg_st),
             seg_hap=self._put(seg_hap),
             mut=self._put(mut),
+            cv=self._put(cv0) if cv0 is not None else None,
             **self._gen0_host_fields(p, n),
         )
 
@@ -649,6 +765,20 @@ class Simulation:
                 elif self.vt_type == 2 and var_F > 0:
                     ph.beta = float(np.sqrt(ph.vf / (2 * var_F)))
 
+    def _gather_resident_cv(self, seg_st, seg_hap, mut) -> jax.Array:
+        """Rebuild the resident CV matrix from a ledger (checkpoint-resume
+        fallback): one `_ad_all` gather pass per phenotype."""
+        parts = []
+        for j in range(self.n_pheno):
+            _, _, c = _ad_all(
+                seg_st, seg_hap, mut,
+                self.cv_bp_dev[j], self.global_cv[j],
+                self.eff_a[j], self.eff_d[j], self.pop_starts,
+                jnp.asarray(False), jnp.asarray(seg_st.shape[1], jnp.int32),
+            )
+            parts.append(c)
+        return jnp.concatenate(parts, axis=3)
+
     # ----------------------------------------------------------------- A / D
     def _compute_ad(self, p: PopRuntime, gen: int = -1):
         """(npheno, n) raw additive & dominance values (`Simulation.cpp:2624-2749`)."""
@@ -660,18 +790,28 @@ class Simulation:
             if sum(self.ncv_real[j]) == 0:
                 continue
             dominance_on = jnp.asarray(p.phenos[j].vd != 0)
-            A_j, D_j, c = _ad_all(
-                st.seg_st,
-                st.seg_hap,
-                st.mut,
-                self.cv_bp_dev[j],
-                self.global_cv[j],
-                self.eff_a[j],
-                self.eff_d[j],
-                self.pop_starts,
-                dominance_on,
-                jnp.asarray(st.n, dtype=jnp.int32),
-            )
+            if st.cv is not None:
+                c = st.cv[..., j * self.ncv_pad : (j + 1) * self.ncv_pad]
+                A_j, D_j = _ad_resident(
+                    c,
+                    self.eff_a[j][:, 0, :],
+                    self.eff_d[j][:, 0, :],
+                    dominance_on,
+                    jnp.asarray(st.n, dtype=jnp.int32),
+                )
+            else:
+                A_j, D_j, c = _ad_all(
+                    st.seg_st,
+                    st.seg_hap,
+                    st.mut,
+                    self.cv_bp_dev[j],
+                    self.global_cv[j],
+                    self.eff_a[j],
+                    self.eff_d[j],
+                    self.pop_starts,
+                    dominance_on,
+                    jnp.asarray(st.n, dtype=jnp.int32),
+                )
             A[j] = np.asarray(A_j, dtype=np.float64)[: st.n]
             D[j] = np.asarray(D_j, dtype=np.float64)[: st.n]
             if dump_cv:
@@ -919,7 +1059,7 @@ class Simulation:
         sm = p.smaps
         key = stage_key(self.key, gen, Stage.CROSSOVER, p.index)
         while True:
-            seg_st, seg_hap, mut, seg_used, mut_used = _reproduce_all(
+            seg_st, seg_hap, mut, cv, seg_used, mut_used = _reproduce_all(
                 st.seg_st,
                 st.seg_hap,
                 st.mut,
@@ -947,6 +1087,8 @@ class Simulation:
                 sm.mut_bp_step,
                 sm.xo_grid_w,
                 sm.mut_grid_w,
+                st.cv,
+                self.cv_bp_all,
             )
             # one host sync per generation: the capacity check (sized so
             # this regrows only in pathological runs)
@@ -970,6 +1112,7 @@ class Simulation:
             seg_st=self._put(seg_st),
             seg_hap=self._put(seg_hap),
             mut=self._put(mut),
+            cv=self._put(cv) if st.cv is not None else None,
             **self._child_host_fields(p, gen, plan),
         )
 

@@ -235,6 +235,50 @@ def test_cdf_grid_matches_searchsorted():
             )
 
 
+def test_resident_cv_matches_gather_path(tmp_path, monkeypatch):
+    """The resident CV matrix (single-pop fast path) must give bit-identical
+    A/D components and summary to re-gathering from the ledger each
+    generation (`_ad_all`)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from mkscenario import make_scenario
+
+    from geneevolve_tpu.config import parse_args
+    from geneevolve_tpu.core.engine import Simulation
+
+    flags = make_scenario(
+        str(tmp_path / "sc"), n0=120, pop_size=150, gens=4, nchr=3, ncv=12,
+    )
+    argv = []
+    for k, v in flags.items():
+        argv += [f"--{k}", v]
+
+    outs = {}
+    for mode in ("resident", "gather"):
+        if mode == "gather":
+            monkeypatch.setenv("GE_NO_RESIDENT_CV", "1")
+        else:
+            monkeypatch.delenv("GE_NO_RESIDENT_CV", raising=False)
+        cfg = parse_args(
+            argv + ["--seed", "77", "--prefix", str(tmp_path / mode)]
+        )
+        sim = Simulation(cfg, verbose=False)
+        assert (sim.pops[0].smaps.xo_grid is not None)
+        sim.init_generation0()
+        assert (sim.pops[0].state.cv is not None) == (mode == "resident")
+        for g in range(1, sim.tot_gen + 1):
+            sim.step(g)
+        outs[mode] = {
+            "P": sim.pops[0].state.comp["P"].copy(),
+            "A": sim.pops[0].state.comp["A"].copy(),
+            "D": sim.pops[0].state.comp["D"].copy(),
+            "traj": sim.pops[0].traj["var_A"].copy(),
+        }
+    for k in outs["resident"]:
+        np.testing.assert_array_equal(outs["resident"][k], outs["gather"][k])
+
+
 def test_hap_at_and_flip_mask_oracle():
     rng = np.random.default_rng(3)
     n, S, Q = 32, 15, 50
