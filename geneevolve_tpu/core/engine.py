@@ -38,9 +38,93 @@ from geneevolve_tpu.utils import telemetry
 @partial(
     jax.jit,
     static_argnames=(
+        "xo_cap", "mn_cap", "has_mut", "xo_grid_w", "mut_grid_w",
+    ),
+)
+def _capacity_probe(
+    par_st,  # (nchr, n, 2, S)
+    par_mut,  # (nchr, n, 2, M)
+    father,
+    mother,
+    key,
+    bp,
+    xo_cum,
+    xo_lambda,
+    bin_width,
+    mut_bp,
+    mut_cum,
+    mut_lambda,
+    xo_cap: int,
+    mn_cap: int,
+    has_mut: bool,
+    xo_grid=None,
+    mut_grid=None,
+    bp0=None,
+    mut_bp0=None,
+    bp_step=None,
+    mut_bp_step=None,
+    xo_grid_w: int = 0,
+    mut_grid_w: int = 0,
+):
+    """Exact ledger-slot and (conservative) mutation-slot requirements of
+    the NEXT `_reproduce_all` call, drawn from the same keys. Runs before
+    the real pass so capacity growth happens while the old state is still
+    alive — the real pass donates the genome buffers (halving peak HBM),
+    which makes a redo-after-overflow impossible."""
+    nc = father.shape[0]
+
+    def per_chr(st, mu, k, bp_c, xoc, xol, bw, mbp, mcum, mlam, ci):
+        xg = xo_grid[ci] if xo_grid is not None else None
+        mg = mut_grid[ci] if mut_grid is not None else None
+        b0 = bp0[ci] if bp0 is not None else None
+        mb0 = mut_bp0[ci] if mut_bp0 is not None else None
+        bstep = bp_step[ci] if bp0 is not None else None
+        mbstep = mut_bp_step[ci] if mut_bp0 is not None else None
+        k_xo_f, k_xo_m, k_sh, k_mp, k_mc = jax.random.split(k, 5)
+        xo_f = segments.sample_point_process(
+            k_xo_f, nc, xo_cap, xoc, xol, bp_c, bw, False,
+            grid=xg, grid_w=xo_grid_w, bp0=b0, bp_step=bstep,
+        )
+        xo_m = segments.sample_point_process(
+            k_xo_m, nc, xo_cap, xoc, xol, bp_c, bw, False,
+            grid=xg, grid_w=xo_grid_w, bp0=b0, bp_step=bstep,
+        )
+        sh = jax.random.randint(k_sh, (nc, 2), 0, 2)
+        nv0 = segments.count_merge_valid(st[father], xo_f, sh[:, 0])
+        nv1 = segments.count_merge_valid(st[mother], xo_m, sh[:, 1])
+        seg_used = jnp.maximum(jnp.max(nv0), jnp.max(nv1))
+        if has_mut:
+            big = segments._big()
+            new = segments.sample_point_process(
+                k_mp, nc, mn_cap, mcum, mlam, mbp, 0, True,
+                grid=mg, grid_w=mut_grid_w, bp0=mb0, bp_step=mbstep,
+            )
+            mreal = jnp.sum((mu < big).astype(jnp.int32), axis=(1, 2))
+            newr = jnp.sum((new < big).astype(jnp.int32), axis=1)
+            mut_used = jnp.max(
+                jnp.maximum(mreal[father], mreal[mother]) + newr
+            )
+        else:
+            mut_used = jnp.zeros((), dtype=jnp.int32)
+        return seg_used, mut_used
+
+    keys = jax.random.split(key, par_st.shape[0])
+    xs = (
+        par_st, par_mut, keys,
+        bp, xo_cum, xo_lambda, bin_width, mut_bp, mut_cum, mut_lambda,
+        jnp.arange(par_st.shape[0], dtype=jnp.int32),
+    )
+    su, mu_used = jax.lax.map(lambda a: per_chr(*a), xs, batch_size=1)
+    return jnp.max(su), jnp.max(mu_used)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
         "s_cap", "m_cap", "xo_cap", "mn_cap", "merge_ibd", "has_mut",
         "xo_grid_w", "mut_grid_w",
     ),
+    donate_argnames=("par_st", "par_hap", "par_mut", "cv"),
 )
 def _reproduce_all(
     par_st,  # (nchr, n, 2, S)
@@ -1058,61 +1142,81 @@ class Simulation:
             mother = jax.device_put(mother, sh)
         sm = p.smaps
         key = stage_key(self.key, gen, Stage.CROSSOVER, p.index)
-        while True:
-            seg_st, seg_hap, mut, cv, seg_used, mut_used = _reproduce_all(
-                st.seg_st,
-                st.seg_hap,
-                st.mut,
-                father,
-                mother,
-                key,
-                sm.bp,
-                sm.xo_cum,
-                sm.xo_lambda,
-                sm.bin_width,
-                sm.mut_bp,
-                sm.mut_cum,
-                sm.mut_lambda,
-                self.s_cap,
-                self.m_cap,
-                self.xo_cap,
-                self.mn_cap,
-                self.merge_ibd,
-                self.has_mut,
-                sm.xo_grid,
-                sm.mut_grid,
-                sm.bp0,
-                sm.mut_bp0,
-                sm.bp_step,
-                sm.mut_bp_step,
-                sm.xo_grid_w,
-                sm.mut_grid_w,
-                st.cv,
-                self.cv_bp_all,
-            )
-            # one host sync per generation: the capacity check (sized so
-            # this regrows only in pathological runs)
-            grew = False
-            if int(seg_used) > self.s_cap:
-                self.s_cap = int(seg_used * 3 // 2 + 8)
-                a, b = _pad_ledger(st.seg_st, st.seg_hap, self.s_cap)
-                st.seg_st, st.seg_hap = self._put(a), self._put(b)
-                grew = True
-            if int(mut_used) > self.m_cap:
-                self.m_cap = int(mut_used * 3 // 2 + 8)
-                st.mut = self._put(_pad_positions(st.mut, self.m_cap))
-                grew = True
-            if not grew:
-                break
-            self._log(
-                f"      [capacity grow] S={self.s_cap} M={self.m_cap}"
-            )
-
+        # capacity pre-pass (same keys as the real pass): growth happens
+        # while the old state is alive — the real pass donates the genome
+        # buffers, so an after-the-fact redo is impossible
+        seg_need, mut_need = _capacity_probe(
+            st.seg_st,
+            st.mut,
+            father,
+            mother,
+            key,
+            sm.bp,
+            sm.xo_cum,
+            sm.xo_lambda,
+            sm.bin_width,
+            sm.mut_bp,
+            sm.mut_cum,
+            sm.mut_lambda,
+            self.xo_cap,
+            self.mn_cap,
+            self.has_mut,
+            sm.xo_grid,
+            sm.mut_grid,
+            sm.bp0,
+            sm.mut_bp0,
+            sm.bp_step,
+            sm.mut_bp_step,
+            sm.xo_grid_w,
+            sm.mut_grid_w,
+        )
+        # one host sync per generation (the probe fetch)
+        if int(seg_need) > self.s_cap:
+            self.s_cap = int(seg_need) * 3 // 2 + 8
+            a, b = _pad_ledger(st.seg_st, st.seg_hap, self.s_cap)
+            st.seg_st, st.seg_hap = self._put(a), self._put(b)
+            self._log(f"      [capacity grow] S={self.s_cap}")
+        if int(mut_need) > self.m_cap:
+            self.m_cap = int(mut_need) * 3 // 2 + 8
+            st.mut = self._put(_pad_positions(st.mut, self.m_cap))
+            self._log(f"      [capacity grow] M={self.m_cap}")
+        seg_st, seg_hap, mut, cv, seg_used, mut_used = _reproduce_all(
+            st.seg_st,
+            st.seg_hap,
+            st.mut,
+            father,
+            mother,
+            key,
+            sm.bp,
+            sm.xo_cum,
+            sm.xo_lambda,
+            sm.bin_width,
+            sm.mut_bp,
+            sm.mut_cum,
+            sm.mut_lambda,
+            self.s_cap,
+            self.m_cap,
+            self.xo_cap,
+            self.mn_cap,
+            self.merge_ibd,
+            self.has_mut,
+            sm.xo_grid,
+            sm.mut_grid,
+            sm.bp0,
+            sm.mut_bp0,
+            sm.bp_step,
+            sm.mut_bp_step,
+            sm.xo_grid_w,
+            sm.mut_grid_w,
+            st.cv,
+            self.cv_bp_all,
+        )
+        st.seg_st = st.seg_hap = st.mut = st.cv = None  # donated
         return PopState(
             seg_st=self._put(seg_st),
             seg_hap=self._put(seg_hap),
             mut=self._put(mut),
-            cv=self._put(cv) if st.cv is not None else None,
+            cv=self._put(cv) if self.resident_cv else None,
             **self._child_host_fields(p, gen, plan),
         )
 

@@ -188,10 +188,11 @@ class StackedMaps:
     mut_cum: jax.Array  # (nchr, Km)
     mut_lambda: jax.Array  # (nchr,) float32
     chr_start: jax.Array  # (nchr,)
-    # inverse-CDF grids (build_cdf_grid), common T/W across chromosomes
-    xo_grid: jax.Array = None  # (nchr, T, Wx+3) int32
+    # inverse-CDF grids (build_cdf_grid), common T/W across chromosomes,
+    # stored transposed: (nchr, W+3, T)
+    xo_grid: jax.Array = None
     xo_grid_w: int = 0  # static
-    mut_grid: jax.Array = None  # (nchr, Tm, Wm+3) int32
+    mut_grid: jax.Array = None
     mut_grid_w: int = 0
     # affine anchors: bp[c, k] == bp[c, 0] + k*step[c] exactly, all chrs
     bp0: jax.Array = None  # (nchr,) — None when any chr is non-affine
@@ -235,7 +236,9 @@ class StackedMaps:
                 full[:, 0] = 0
                 if tab is not None:
                     full[:, : w + 3] = tab
-                tables.append(full)
+                # transposed (W+3, T): the device gathers table columns so
+                # the probe axis lands on lanes (see sample_point_process)
+                tables.append(full.T.copy())
             return jnp.asarray(np.stack(tables)), w_glob
 
         xo_grid, xo_w = grids([m.xo_cum for m in maps])
@@ -337,7 +340,7 @@ def sample_point_process(
     bp: jax.Array,
     width,
     inclusive_bins: bool,
-    grid: jax.Array = None,  # (T, W+3) int32 build_cdf_grid table
+    grid: jax.Array = None,  # (W+3, T) int32 transposed build_cdf_grid table
     grid_w: int = 0,  # static W of the grid (0 = use searchsorted)
     bp0=None,  # affine anchor base (traced scalar) — with bp_step,
     bp_step=None,  # replaces the bp[bins] gather by arithmetic
@@ -375,28 +378,50 @@ def sample_point_process(
     )
     u = s[:, :cap] / jnp.maximum(denom, 1e-30)[:, None] * cum[-1]
     if grid is not None and grid_w > 0:
-        # inverse-CDF grid (build_cdf_grid): one row gather + <=W compares
-        T = grid.shape[0]
+        # inverse-CDF grid (build_cdf_grid): one narrow row gather +
+        # <=W in-register compares per probe. XLA tiles the gather result
+        # with the (W+3)-wide component axis on lanes (a 25x padding
+        # blow-up, 6.6 GB at n=300k), so the probe set is processed in
+        # lax.map chunks that cap the padded temp at ~0.5 GB.
+        T = grid.shape[1]
         t = jnp.clip(
             (u * (jnp.float32(T) / cum[-1])).astype(jnp.int32), 0, T - 1
         )
-        row = grid[t]  # (n, cap, W+3) int32 — the only gather
-        base = row[..., 0]
-        rcum = jax.lax.bitcast_convert_type(row[..., 1:], jnp.float32)
-        cnt = jnp.sum(
-            (rcum[..., 1 : grid_w + 1] <= u[..., None]).astype(jnp.int32),
-            axis=-1,
-        )
-        cnt = jnp.minimum(cnt, (K - 1) - base)  # the old min(bins, K-1)
-        bins = base + cnt
-        jsel = jnp.arange(grid_w + 2)
-        lo_mass = jnp.sum(
-            jnp.where(jsel == cnt[..., None], rcum, 0.0), axis=-1
-        )
-        hi_mass = jnp.sum(
-            jnp.where(jsel == cnt[..., None] + 1, rcum, 0.0), axis=-1
-        )
-        mass = jnp.maximum(hi_mass - lo_mass, 1e-30)
+
+        def probe(tc, uc):
+            row = grid[:, tc]  # (W+3, chunk) int32 — the only gather
+            base = row[0]
+            rcum = jax.lax.bitcast_convert_type(row[1:], jnp.float32)
+            cnt = jnp.sum(
+                (rcum[1 : grid_w + 1] <= uc[None]).astype(jnp.int32),
+                axis=0,
+            )
+            cnt = jnp.minimum(cnt, (K - 1) - base)  # old min(bins, K-1)
+            bins = base + cnt
+            jsel = jnp.arange(grid_w + 2).reshape(
+                (-1,) + (1,) * uc.ndim
+            )
+            lo = jnp.sum(jnp.where(jsel == cnt[None], rcum, 0.0), axis=0)
+            hi = jnp.sum(
+                jnp.where(jsel == cnt[None] + 1, rcum, 0.0), axis=0
+            )
+            return bins, lo, jnp.maximum(hi - lo, 1e-30)
+
+        P = n * cap
+        CH = 1 << 20
+        if P > CH:
+            pad = (-P) % CH
+            ft = jnp.pad(t.reshape(-1), (0, pad))
+            fu = jnp.pad(u.reshape(-1), (0, pad))
+            bins, lo_mass, mass = jax.lax.map(
+                lambda a: probe(*a),
+                (ft.reshape(-1, CH), fu.reshape(-1, CH)),
+            )
+            bins = bins.reshape(-1)[:P].reshape(n, cap)
+            lo_mass = lo_mass.reshape(-1)[:P].reshape(n, cap)
+            mass = mass.reshape(-1)[:P].reshape(n, cap)
+        else:
+            bins, lo_mass, mass = probe(t, u)
     else:
         bins = jnp.searchsorted(cum, u, side="right")
         bins = jnp.minimum(bins, K - 1)
@@ -584,6 +609,31 @@ def meiose(
         st.T,
         hap.T.astype(par_hap.dtype),
         n_valid,
+    )
+
+
+def count_merge_valid(
+    par_st: jax.Array,  # (nc, 2, S)
+    xo: jax.Array,  # (nc, K)
+    start_hap: jax.Array,  # (nc,)
+) -> jax.Array:
+    """(nc,) exact valid-boundary count of `meiose`'s merge, without
+    building it — the capacity pre-pass that lets the engine donate the
+    genome buffers to the real pass (regrowth must be decided while the
+    old state is still alive)."""
+    nc, _, S = par_st.shape
+    big = _big()
+    A = par_st[:, 0, :].T
+    B = par_st[:, 1, :].T
+    xo_T = xo.T
+    actA = _active_at_T(xo_T, start_hap, A)
+    actB = _active_at_T(xo_T, start_hap, B)
+    not_first = jnp.arange(S)[:, None] > 0
+    return (
+        1
+        + jnp.sum((xo_T < big).astype(jnp.int32), axis=0)
+        + jnp.sum(((A < big) & (actA == 0) & not_first).astype(jnp.int32), axis=0)
+        + jnp.sum(((B < big) & (actB == 1) & not_first).astype(jnp.int32), axis=0)
     )
 
 

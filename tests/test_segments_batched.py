@@ -221,7 +221,7 @@ def test_cdf_grid_matches_searchsorted():
             )
             got = segments.sample_point_process(
                 key, n, cap, cum, lam, bp, width, inclusive,
-                grid=jnp.asarray(table), grid_w=W,
+                grid=jnp.asarray(table.T.copy()), grid_w=W,
                 bp0=jnp.asarray(bp[0]) if affine else None,
                 bp_step=(
                     jnp.asarray(width, segments.pos_dtype())
