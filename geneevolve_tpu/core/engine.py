@@ -146,7 +146,7 @@ def _reproduce_all(
     mn_cap: int,
     merge_ibd: bool = True,
     has_mut: bool = True,
-    xo_grid=None,  # (nchr, T, Wx+3) inverse-CDF grid (build_cdf_grid)
+    xo_grid=None,  # (nchr, 2Wx+3, T) inverse-CDF grid (build_cdf_grid)
     mut_grid=None,
     bp0=None,  # (nchr,) affine anchors, or None
     mut_bp0=None,
@@ -481,7 +481,28 @@ class Simulation:
         # structure, `Simulation.cpp:1582-1639`); otherwise merge
         # IBD-adjacent boundaries for a smaller ledger
         self.merge_ibd = not cfg.out_interval
+        # (seg_used, mut_used, s_cap, m_cap, gen, pop) tuples awaiting the
+        # deferred overflow check (see _check_capacity_guard)
+        self._pending_used: list = []
         self._load()
+
+    def _check_capacity_guard(self) -> None:
+        """Verify the previous real pass stayed within the capacities the
+        probe promised. The probe and the real pass are separately compiled
+        programs sharing an RNG key schedule; if they ever drift (key-split
+        order, sampler structure, count formula), the rank compaction would
+        silently truncate valid boundaries — corrupted genomes with no
+        error. This fetch turns that into a hard failure one generation
+        late."""
+        pending, self._pending_used = self._pending_used, []
+        for seg_used, mut_used, s_cap, m_cap, gen, pop in pending:
+            su, mu = int(seg_used), int(mut_used)
+            if su > s_cap or mu > m_cap:
+                raise SimulationError(
+                    f"capacity guard tripped at gen {gen} pop {pop}: "
+                    f"real pass used seg={su}/{s_cap} mut={mu}/{m_cap} — "
+                    f"_capacity_probe drifted from _reproduce_all"
+                )
 
     def _pad_n(self, n: int) -> int:
         """Individuals-axis size padded to a mesh multiple (devices require
@@ -1123,6 +1144,9 @@ class Simulation:
 
     def _reproduce(self, p: PopRuntime, gen: int, plan: mating.MatingPlan) -> PopState:
         st = p.state
+        # deferred guard from the PREVIOUS generation's real pass: checked
+        # here (a point that syncs anyway) so the extra fetch costs nothing
+        self._check_capacity_guard()
         n_child = len(plan.child_father)
         n_pad = self._pad_n(n_child)
         # pad parent indices with 0: pad children are real meioses of
@@ -1212,6 +1236,13 @@ class Simulation:
             self.cv_bp_all,
         )
         st.seg_st = st.seg_hap = st.mut = st.cv = None  # donated
+        # capacity correctness rests on _capacity_probe (a separately
+        # compiled program) reproducing the real pass's draws bit-for-bit;
+        # keep the real pass's own counts as a drift tripwire, fetched
+        # lazily at the next sync (no extra host round-trip now)
+        self._pending_used.append(
+            (seg_used, mut_used, self.s_cap, self.m_cap, gen, p.index)
+        )
         return PopState(
             seg_st=self._put(seg_st),
             seg_hap=self._put(seg_hap),
@@ -1459,6 +1490,7 @@ class Simulation:
                 self.step(gen)
                 if cfg.checkpoint_every and gen % cfg.checkpoint_every == 0:
                     checkpoint.save(self, gen, f"{cfg.prefix}.ckpt.npz")
+        self._check_capacity_guard()  # last generation's deferred check
         self.timer.report(self._log)
         self.write_summary()
         if not self.out_gens and (

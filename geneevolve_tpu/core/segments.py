@@ -58,32 +58,62 @@ def build_cdf_grid(cum: np.ndarray, force_t: int = 0, force_w: int = 0):
     """Host-side inverse-CDF acceleration table for `sample_point_process`.
 
     For a uniform grid of T cells over [0, total mass), cell t stores
-    `base[t] = searchsorted(cum, t*total/T, 'right')` and the next W+2 CDF
-    values starting at `cum[base[t]-1]`, so a device probe is ONE
-    vectorized row gather plus <=W in-register compares — replacing
-    `jnp.searchsorted`'s log2(K) rounds of per-element gathers (~7 ns each
-    on v5e; 50 ms per (300k, 23) probe set). T doubles until every cell
-    spans at most W_MAX boundaries.
+    `base[t] = searchsorted(cum, t*total/T, 'right')` plus the W+1 next
+    DISTINCT CDF values after `cum[base[t]-1]` and their run lengths (the
+    number of equal `cum` entries at each distinct value), so a device
+    probe is ONE vectorized row gather plus <=W in-register compares —
+    replacing `jnp.searchsorted`'s log2(K) rounds of per-element gathers
+    (~7 ns each on v5e; 50 ms per (300k, 23) probe set). T doubles until
+    every cell spans at most W_MAX distinct boundaries.
 
-    Returns (table (T, W+3) int32 — col 0 = base, cols 1.. = cum values
-    bitcast to int32, padded with +inf — and W). The device math reproduces
+    Run-length deduplication is what bounds W on real maps: the shipped
+    Recom.Map.b37 maps have megabase runs of zero-mass bins (equal cum
+    values) that would otherwise inflate a cell's raw span past 250
+    boundaries; `searchsorted(..., 'right')` can never land inside such a
+    run, so only the distinct values matter. If even the deduplicated W
+    exceeds W_MAX at the T cap the function returns (None, 0) — the caller
+    must fall back to the exact searchsorted path (never a silent clamp,
+    which would misplace samples by whole zero-mass runs).
+
+    Returns (table (T, 2W+3) int32 — col 0 = base, cols 1..W+2 = distinct
+    cum values bitcast to int32 (col 1+j = j'th distinct value after
+    cum[base-1], padded with +inf; col 1 = cum[base-1] itself, 0.0 when
+    base == 0), cols W+3..2W+2 = int32 run lengths aligned with cols
+    2..W+1 — and W). The device math reproduces
     `min(searchsorted(cum, u, 'right'), K-1)` bit-exactly for u in
     [0, total)."""
     K = len(cum)
+    cum = np.asarray(cum, dtype=np.float32)
     total = float(cum[-1])
     W_MAX = 13
+    # run-length compress: strictly increasing distinct values. vals[r] is
+    # run r's value, starts[r]/ends[r] its [start, end) index range;
+    # searchsorted(cum, x, 'right') always lands on a run boundary.
+    keep = np.empty(K, dtype=bool)
+    if K:
+        keep[0] = True
+        keep[1:] = cum[1:] != cum[:-1]
+    vals = cum[keep]
+    starts = np.flatnonzero(keep)
+    ends = np.concatenate([starts[1:], [K]]).astype(np.int64)
+    lengths = (ends - starts).astype(np.int32)
+    R = len(vals)
     T = force_t or _GRID_T_MIN
     while True:
         v = np.arange(T + 2, dtype=np.float64) * (total / T)
         # the device computes the cell index in f32, which can land one cell
-        # off near a boundary: each cell's [base, base+W] range therefore
-        # covers its neighbors too
+        # off near a boundary: each cell's window therefore covers its
+        # neighbors too
         base = np.searchsorted(
             cum, v[:T].astype(np.float32), side="right"
         )
         base = np.minimum(base, np.concatenate([[base[0]], base[:-1]]))
         hi = np.searchsorted(cum, v[2:].astype(np.float32), side="left")
-        W = int(np.max(hi - base)) if K else 0
+        # distinct-value window: runs rb..rh-1 (base is a run end, hi a
+        # run start, so runs never straddle the window edges)
+        rb = np.searchsorted(ends, base, side="right")
+        rh = np.searchsorted(starts, hi, side="left")
+        W = int(np.max(rh - rb)) if K else 0
         if force_t or W <= W_MAX or T >= _GRID_T_MAX:
             break
         T *= 2
@@ -93,15 +123,23 @@ def build_cdf_grid(cum: np.ndarray, force_t: int = 0, force_w: int = 0):
                 f"cdf grid W={W} exceeds forced W={force_w} at T={T}"
             )
         W = force_w
+    elif W > W_MAX:
+        return None, 0  # caller falls back to exact searchsorted
     else:
-        W = min(max(W, 1), W_MAX)
-    idx = base[:, None] - 1 + np.arange(W + 2)[None, :]
-    vals = np.full((T, W + 2), np.inf, dtype=np.float32)
-    ok = (idx >= 0) & (idx < K)
-    vals[ok] = cum[np.clip(idx, 0, K - 1)][ok]
-    vals[idx == -1] = 0.0  # conceptual cum[-1]: mass below the first bin
+        W = max(W, 1)
+    # dv[:, 0] = cum[base-1] (0.0 below the first bin); dv[:, 1+j] =
+    # vals[rb+j] for j in 0..W (one past the compare window, so the probe
+    # can read cum[bins] for the bin-mass computation)
+    dv = np.full((T, W + 2), np.inf, dtype=np.float32)
+    dv[:, 0] = np.where(base > 0, cum[np.maximum(base - 1, 0)], 0.0)
+    ridx = rb[:, None] + np.arange(W + 1)[None, :]
+    okr = ridx < R
+    dv[:, 1:] = np.where(okr, vals[np.minimum(ridx, max(R - 1, 0))], np.inf)
+    jump = np.where(
+        okr[:, :W], lengths[np.minimum(ridx[:, :W], max(R - 1, 0))], 0
+    ).astype(np.int32)
     table = np.concatenate(
-        [base.astype(np.int32)[:, None], vals.view(np.int32)], axis=1
+        [base.astype(np.int32)[:, None], dv.view(np.int32), jump], axis=1
     )
     return table, W
 
@@ -217,26 +255,49 @@ class StackedMaps:
             return jnp.asarray(out, dtype=dtype)
 
         def grids(cums):
-            """Stacked grids with one T and W for every chromosome."""
+            """Stacked grids with one T and W for every chromosome.
+
+            If ANY live chromosome cannot build a grid within the W cap
+            (even after run-dedup), the grid is disabled for the whole
+            stack — T/W must be common across chromosomes, and a clamped
+            window would silently misplace samples (the searchsorted
+            fallback in `sample_point_process` is exact)."""
             live = [c for c in cums if len(c) and float(c[-1]) > 0]
             if not live:
                 return None, 0
-            t_glob = max(build_cdf_grid(c)[0].shape[0] for c in live)
+            first = [build_cdf_grid(c) for c in live]
+            if any(t is None for t, _ in first):
+                return None, 0
+            t_glob = max(t.shape[0] for t, _ in first)
             built = [
                 build_cdf_grid(c, force_t=t_glob)
                 if len(c) and float(c[-1]) > 0
                 else (None, 0)
                 for c in cums
             ]
+            if any(
+                t is None
+                for (t, _), c in zip(built, cums)
+                if len(c) and float(c[-1]) > 0
+            ):
+                return None, 0
             w_glob = max(w for _, w in built)
+            built = [
+                build_cdf_grid(c, force_t=t_glob, force_w=w_glob)
+                if len(c) and float(c[-1]) > 0
+                else (None, 0)
+                for c in cums
+            ]
             inf_bits = np.float32(np.inf).view(np.int32)
             tables = []
             for tab, w in built:
-                full = np.full((t_glob, w_glob + 3), inf_bits, np.int32)
+                full = np.full((t_glob, 2 * w_glob + 3), inf_bits, np.int32)
                 full[:, 0] = 0
+                full[:, 1] = 0  # dv[0] = 0.0f (mass below the first bin)
+                full[:, w_glob + 3 :] = 0  # run lengths of padding = 0
                 if tab is not None:
-                    full[:, : w + 3] = tab
-                # transposed (W+3, T): the device gathers table columns so
+                    full[:] = tab  # force_w pads every table to w_glob
+                # transposed (2W+3, T): the device gathers table columns so
                 # the probe axis lands on lanes (see sample_point_process)
                 tables.append(full.T.copy())
             return jnp.asarray(np.stack(tables)), w_glob
@@ -340,26 +401,30 @@ def sample_point_process(
     bp: jax.Array,
     width,
     inclusive_bins: bool,
-    grid: jax.Array = None,  # (W+3, T) int32 transposed build_cdf_grid table
+    grid: jax.Array = None,  # (2W+3, T) int32 transposed build_cdf_grid table
     grid_w: int = 0,  # static W of the grid (0 = use searchsorted)
     bp0=None,  # affine anchor base (traced scalar) — with bp_step,
     bp_step=None,  # replaces the bp[bins] gather by arithmetic
 ) -> jax.Array:
-    """(n, cap) sorted positions padded with BIG.
+    """(n, cap) positions padded with BIG, non-decreasing in bin index.
 
     Each row: Poisson(lam) points; bin j chosen with prob mass[j]; position
-    uniform within the bin. `inclusive_bins=False` = crossover convention
-    (`bp[j] + U[0,width)`); True = mutation convention (uniform over
-    [bp[j-1], bp[j]] inclusive).
+    an independent uniform within the bin (matching the reference's
+    Bernoulli-per-bin + uniform-within-bin law, `Simulation.cpp:2973-2995`).
+    `inclusive_bins=False` = crossover convention (`bp[j] + U[0,width)`);
+    True = mutation convention (uniform over [bp[j-1], bp[j]] inclusive).
 
-    Sorted-by-construction: the row's points are the order statistics of
-    `count` uniforms on [0, total mass), generated as normalized cumulative
-    Exp(1) gaps (S_1..S_c)/S_{c+1} — the classic representation — then
-    pushed through the monotone inverse-CDF over bin masses, with the
-    within-bin offset taken from the same uniform's remainder. No sort: XLA's
-    TPU sort along a minor axis is ~50x slower than the surrounding ops
-    (measured on v5e), and this function runs 3x per chromosome per
-    generation.
+    Bin selection is sort-free: the row's points are the order statistics
+    of `count` uniforms on [0, total mass), generated as normalized
+    cumulative Exp(1) gaps (S_1..S_c)/S_{c+1} — the classic representation
+    — pushed through the monotone inverse-CDF over bin masses. No sort:
+    XLA's TPU sort along a minor axis is ~50x slower than the surrounding
+    ops (measured on v5e), and this function runs 3x per chromosome per
+    generation. The within-bin offset is a FRESH uniform (not the order
+    statistic's remainder, whose f32 cancellation quantized low-mass bins
+    to ~300 bp steps), so two same-bin points may appear out of order
+    within the row — every consumer (`_active_at_T`, `rank_compact_T`,
+    `mutation_flip_mask`) is compare/count-based and order-independent.
 
     `lam` and `width` may be python scalars or traced jax scalars (so one
     compiled function serves every chromosome); lam == 0 yields all-padding
@@ -367,7 +432,7 @@ def sample_point_process(
     if isinstance(lam, (int, float)) and lam <= 0.0:
         return jnp.full((n, cap), _big(), dtype=pos_dtype())
     K = cum.shape[0]
-    k1, k2 = jax.random.split(key, 2)
+    k1, k2, k3 = jax.random.split(key, 3)
     counts = jnp.minimum(jax.random.poisson(k1, lam, (n,)), cap)
     gaps = -jnp.log1p(-jax.random.uniform(k2, (n, cap + 1), dtype=jnp.float32))
     s = jnp.cumsum(gaps, axis=1)
@@ -379,33 +444,28 @@ def sample_point_process(
     u = s[:, :cap] / jnp.maximum(denom, 1e-30)[:, None] * cum[-1]
     if grid is not None and grid_w > 0:
         # inverse-CDF grid (build_cdf_grid): one narrow row gather +
-        # <=W in-register compares per probe. XLA tiles the gather result
-        # with the (W+3)-wide component axis on lanes (a 25x padding
-        # blow-up, 6.6 GB at n=300k), so the probe set is processed in
-        # lax.map chunks that cap the padded temp at ~0.5 GB.
+        # <=W in-register compares per probe, counting run lengths so a
+        # probe lands exactly where searchsorted-right would even across
+        # runs of equal cum values. XLA tiles the gather result with the
+        # (2W+3)-wide component axis on lanes (a padding blow-up, GBs at
+        # n=300k), so the probe set is processed in lax.map chunks that
+        # cap the padded temp at ~0.5 GB.
         T = grid.shape[1]
         t = jnp.clip(
             (u * (jnp.float32(T) / cum[-1])).astype(jnp.int32), 0, T - 1
         )
 
         def probe(tc, uc):
-            row = grid[:, tc]  # (W+3, chunk) int32 — the only gather
+            row = grid[:, tc]  # (2W+3, chunk) int32 — the only gather
             base = row[0]
-            rcum = jax.lax.bitcast_convert_type(row[1:], jnp.float32)
-            cnt = jnp.sum(
-                (rcum[1 : grid_w + 1] <= uc[None]).astype(jnp.int32),
-                axis=0,
+            dv = jax.lax.bitcast_convert_type(
+                row[1 : grid_w + 3], jnp.float32
             )
+            jump = row[grid_w + 3 :]  # (W, chunk) run lengths
+            le = (dv[1 : grid_w + 1] <= uc[None]).astype(jnp.int32)
+            cnt = jnp.sum(jump * le, axis=0)  # entries <= u after base
             cnt = jnp.minimum(cnt, (K - 1) - base)  # old min(bins, K-1)
-            bins = base + cnt
-            jsel = jnp.arange(grid_w + 2).reshape(
-                (-1,) + (1,) * uc.ndim
-            )
-            lo = jnp.sum(jnp.where(jsel == cnt[None], rcum, 0.0), axis=0)
-            hi = jnp.sum(
-                jnp.where(jsel == cnt[None] + 1, rcum, 0.0), axis=0
-            )
-            return bins, lo, jnp.maximum(hi - lo, 1e-30)
+            return base + cnt
 
         P = n * cap
         CH = 1 << 20
@@ -413,21 +473,21 @@ def sample_point_process(
             pad = (-P) % CH
             ft = jnp.pad(t.reshape(-1), (0, pad))
             fu = jnp.pad(u.reshape(-1), (0, pad))
-            bins, lo_mass, mass = jax.lax.map(
+            bins = jax.lax.map(
                 lambda a: probe(*a),
                 (ft.reshape(-1, CH), fu.reshape(-1, CH)),
             )
             bins = bins.reshape(-1)[:P].reshape(n, cap)
-            lo_mass = lo_mass.reshape(-1)[:P].reshape(n, cap)
-            mass = mass.reshape(-1)[:P].reshape(n, cap)
         else:
-            bins, lo_mass, mass = probe(t, u)
+            bins = probe(t, u)
     else:
         bins = jnp.searchsorted(cum, u, side="right")
         bins = jnp.minimum(bins, K - 1)
-        lo_mass = jnp.where(bins > 0, cum[jnp.maximum(bins - 1, 0)], 0.0)
-        mass = jnp.maximum(cum[bins] - lo_mass, 1e-30)
-    v = jnp.clip((u - lo_mass) / mass, 0.0, 1.0 - 1e-7)
+    # fresh uniform for the within-bin offset: full f32 resolution at any
+    # bin mass (the order statistic u only selects the bin)
+    v = jnp.minimum(
+        jax.random.uniform(k3, (n, cap), dtype=jnp.float32), 1.0 - 1e-7
+    )
     if bp0 is not None:
         # affine anchors: bp[k] == bp0 + k*step exactly (checked at load)
         bp_bin = (bp0 + bins.astype(pos_dtype()) * bp_step).astype(

@@ -185,11 +185,12 @@ def test_sample_point_process_law():
     # Poisson(3.9) mean/var
     assert abs(counts.mean() - lam) < 0.05
     assert abs(counts.var() - lam) < 0.15
-    # rows sorted, padding contiguous at the end
+    # rows non-decreasing in bin index (within-bin offsets are independent
+    # uniforms and may be unordered), padding contiguous at the end
     for i in range(0, n, 997):
         row = pos[i]
         v = row[row < BIG]
-        assert np.all(np.diff(v) >= 0)
+        assert np.all(np.diff(v // width) >= 0)
         assert np.all(row[len(v):] >= BIG)
     # positions uniform across bins 1..nbins-1 (bin 0 has zero mass)
     v = pos[pos < BIG]
@@ -233,6 +234,90 @@ def test_cdf_grid_matches_searchsorted():
                 np.asarray(got), np.asarray(ref),
                 err_msg=f"inclusive={inclusive} affine={affine}",
             )
+
+
+def test_cdf_grid_flat_runs_exact():
+    """Long runs of zero-mass bins (equal cum values) must not corrupt the
+    grid: the raw (un-deduplicated) window span here is ~600 boundaries,
+    far past W_MAX — the old clamped grid placed crossovers megabases
+    inside zero-recombination gaps. Run-length dedup keeps W tiny and the
+    result bit-exact vs searchsorted."""
+    rng = np.random.default_rng(3)
+    nbins = 2000
+    width = 50_000
+    mass = np.zeros(nbins, dtype=np.float32)
+    # a handful of live bins separated by enormous dead runs
+    live = np.array([1, 2, 600, 601, 1200, 1999])
+    mass[live] = rng.gamma(1.0, 1.0, size=len(live)).astype(np.float32)
+    cum = jnp.asarray(np.cumsum(mass))
+    bp = (jnp.arange(nbins) * width).astype(segments.pos_dtype())
+    lam = float(mass.sum())
+    table, W = segments.build_cdf_grid(np.cumsum(mass))
+    assert table is not None and W <= 13
+    n, cap = 4000, 12
+    key = jax.random.key(5)
+    ref = segments.sample_point_process(
+        key, n, cap, cum, lam, bp, width, False
+    )
+    got = segments.sample_point_process(
+        key, n, cap, cum, lam, bp, width, False,
+        grid=jnp.asarray(table.T.copy()), grid_w=W,
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    # every sampled point sits inside a live bin
+    v = np.asarray(got)[np.asarray(got) < BIG]
+    assert set(np.unique(v // width)).issubset(set(live.tolist()))
+
+
+def test_cdf_grid_real_recom_map():
+    """The shipped Recom.Map.b37 chromosomes (50 Kb bins, long flat cum
+    runs) must build a usable grid — 8/22 of them previously exceeded the
+    window cap before dedup — and match searchsorted bit-exactly."""
+    import zipfile
+
+    zf = zipfile.ZipFile("/root/reference/Examples.zip")
+    name = next(
+        n for n in zf.namelist() if n.endswith("Recom.Map.b37.50KbDiff")
+    )
+    rows = [
+        ln.split()
+        for ln in zf.read(name).decode().splitlines()[1:]
+        if ln.strip()
+    ]
+    chrs = {}
+    for chrom, bp_, cm in rows:
+        chrs.setdefault(int(chrom), []).append((int(float(bp_)), float(cm)))
+    # chr 2 is one of the maps whose raw window span blows past the cap
+    for chrom in (1, 2):
+        data = np.array(chrs[chrom])
+        prob = np.maximum(np.diff(data[:, 1], prepend=data[0, 1]), 0) / 100
+        cum_np = np.cumsum(prob.astype(np.float32))
+        table, W = segments.build_cdf_grid(cum_np)
+        assert table is not None and 0 < W <= 13, f"chr{chrom}: W={W}"
+        bp = jnp.asarray(data[:, 0].astype(np.int64), segments.pos_dtype())
+        cum = jnp.asarray(cum_np)
+        lam = float(cum_np[-1])
+        width = int(data[1, 0] - data[0, 0])
+        key = jax.random.key(13 + chrom)
+        n, cap = 3000, 10
+        ref = segments.sample_point_process(
+            key, n, cap, cum, lam, bp, width, False
+        )
+        got = segments.sample_point_process(
+            key, n, cap, cum, lam, bp, width, False,
+            grid=jnp.asarray(table.T.copy()), grid_w=W,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got), np.asarray(ref), err_msg=f"chr{chrom}"
+        )
+        # no sample inside a zero-mass bin
+        pos = np.asarray(got)
+        v = pos[pos < BIG]
+        bins = np.minimum(
+            np.searchsorted(data[:, 0], v, side="right") - 1,
+            len(prob) - 1,
+        )
+        assert np.all(prob[bins] > 0)
 
 
 def test_resident_cv_matches_gather_path(tmp_path, monkeypatch):
