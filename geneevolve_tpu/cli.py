@@ -26,6 +26,8 @@ Optional per population: --file_mutation_map --MM <p> --RM
 Global: --gamma (per phenotype) --file_migration --avoid_inbreeding
         --vt_type {1,2} --seed <n> --prefix <s> --debug
         --profile <dir>  (write a jax.profiler trace of the main loop)
+        --mesh auto|ind=N[,loci=M]  (shard the run over a device mesh;
+        outputs are bit-identical to the single-device run)
 Output: --out_hap --out_plink --out_plink01 --out_vcf --out_interval
         --file_output_generations <file> --no_output
 Checkpointing: --checkpoint_every <n> --resume <prefix>.ckpt.npz
@@ -77,7 +79,16 @@ def main(argv=None) -> int:
     else:
         from geneevolve_tpu.core.engine import Simulation as Sim  # defer jax init
 
-    sim = Sim(cfg)
+    mesh = None
+    if cfg.mesh:
+        from geneevolve_tpu.config import build_mesh
+
+        mesh = build_mesh(cfg.mesh)
+        print(
+            f" Device mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}"
+            f" on {mesh.devices.size} x {mesh.devices.flat[0].platform}"
+        )
+    sim = Sim(cfg, mesh=mesh)
     sim.run()
     print(f" Total time: {time.time() - t0:.1f} s")
     return 0

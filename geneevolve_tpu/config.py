@@ -69,6 +69,10 @@ class ScenarioConfig:
     checkpoint_every: int = 0  # write <prefix>.ckpt.npz every N generations
     resume: str = ""  # checkpoint file to restore and continue from
     device_mating: bool = False  # run mate pairing on device (XLA collectives)
+    mesh: str = ""  # device mesh: "auto" (all local devices on the ind
+    # axis) or "ind=N[,loci=M]"; empty = single-device. The reference is a
+    # single process (`Main.cpp:26-88`); this is the multi-chip scaling
+    # surface (results are bit-identical to the unsharded run).
     backend: str = "segment"  # genome backend: segment (reference-parity
     # interval ledger) | dense (materialized bit-packed planes, the
     # flagship-throughput path; single population, no .int output)
@@ -189,6 +193,8 @@ def parse_args(argv: List[str]) -> ScenarioConfig:
             cfg.device_mating = True
         elif a == "--backend":
             cfg.backend = take_value(a)
+        elif a == "--mesh":
+            cfg.mesh = take_value(a)
         elif a in ("--help", "-h", "?", "nothing"):
             pass
         else:
@@ -222,6 +228,51 @@ def parse_args(argv: List[str]) -> ScenarioConfig:
         cfg.seed = (time.time_ns() % 100000000) + 1
     validate(cfg)
     return cfg
+
+
+def parse_mesh_spec(spec: str):
+    """'auto' -> None (all local devices on the ind axis) or
+    'ind=N[,loci=M]' -> (N, M). Raises ConfigError on bad syntax."""
+    if spec == "auto":
+        return None
+    shape = {"ind": 0, "loci": 1}
+    for part in spec.split(","):
+        if "=" not in part:
+            raise ConfigError(
+                f"[--mesh] expects 'auto' or 'ind=N[,loci=M]', got '{spec}'"
+            )
+        k, _, v = part.partition("=")
+        if k not in shape:
+            raise ConfigError(f"[--mesh] unknown axis '{k}' (ind, loci)")
+        try:
+            shape[k] = int(v)
+        except ValueError:
+            raise ConfigError(f"[--mesh] axis size must be an integer: '{part}'")
+        if shape[k] < 1:
+            raise ConfigError(f"[--mesh] axis size must be >= 1: '{part}'")
+    if not shape["ind"]:
+        raise ConfigError("[--mesh] requires an ind=N axis")
+    return (shape["ind"], shape["loci"])
+
+
+def build_mesh(spec: str):
+    """Build the jax.sharding.Mesh named by a --mesh spec (None if empty)."""
+    if not spec:
+        return None
+    import jax
+
+    from geneevolve_tpu.parallel.mesh import make_mesh
+
+    shape = parse_mesh_spec(spec)
+    n_dev = len(jax.devices())
+    if shape is None:
+        shape = (n_dev, 1)
+    if shape[0] * shape[1] > n_dev:
+        raise ConfigError(
+            f"[--mesh] {spec} needs {shape[0] * shape[1]} devices; "
+            f"only {n_dev} visible"
+        )
+    return make_mesh(jax.devices()[: shape[0] * shape[1]], shape)
 
 
 def _num(v: float) -> str:
@@ -327,6 +378,8 @@ def validate(cfg: ScenarioConfig) -> None:
         )
     if cfg.backend not in ("segment", "dense"):
         raise ConfigError("[--backend] must be 'segment' or 'dense'")
+    if cfg.mesh:
+        parse_mesh_spec(cfg.mesh)  # syntax check (device count at runtime)
     if cfg.backend == "dense":
         if cfg.n_pop > 1:
             raise ConfigError(

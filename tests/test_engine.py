@@ -129,3 +129,33 @@ def test_checkpoint_rejects_wrong_seed(mini_scenario, tmp_path):
     sim2 = Simulation(cfg, verbose=False)
     with pytest.raises(RuntimeError, match="seed"):
         checkpoint.load(sim2, str(d / "out.ckpt.npz"))
+
+
+def test_donation_lands_at_constant_pop_size(tmp_path):
+    """`_reproduce_all` donates the genome planes so the engine's peak HBM
+    is ~2x (not 3x) state. Donation can only land when child shapes equal
+    parent shapes — i.e. at constant population size (the one gen0->gen1
+    resize in growth scenarios legitimately re-allocates). This guards the
+    memory story: a silent 'donated buffers were not usable' regression
+    at constant size would triple the 300k-scale footprint."""
+    import sys as _sys
+    import warnings
+
+    _sys.path.insert(0, "/root/repo/tools")
+    from mkscenario import make_scenario
+
+    flags = make_scenario(
+        str(tmp_path / "sc"), n0=200, pop_size=200, gens=3, nchr=3, ncv=12,
+    )
+    argv = []
+    for k, v in flags.items():
+        argv += [f"--{k}", v]
+    cfg = parse_args(argv + ["--seed", "9", "--prefix", str(tmp_path / "o")])
+    sim = Simulation(cfg, verbose=False)
+    sim.init_generation0()
+    with warnings.catch_warnings():
+        warnings.filterwarnings(
+            "error", message=".*donated buffers were not usable.*"
+        )
+        for g in range(1, 4):
+            sim.step(g)

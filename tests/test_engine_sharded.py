@@ -72,3 +72,56 @@ def test_sharded_engine_rejects_bad_mesh(mini_scenario, tmp_path):
     ])
     with pytest.raises(RuntimeError, match="ind"):
         Simulation(args, verbose=False, mesh=mesh)
+
+
+def test_cli_mesh_flag_bit_identical(mini_scenario, tmp_path, capsys):
+    """The product surface: `python -m geneevolve_tpu --mesh ind=8` must run
+    the engine sharded and produce byte-identical outputs to the
+    single-device CLI run (VERDICT r3 item 4)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from geneevolve_tpu.cli import main as cli_main
+
+    outs = {}
+    for name, extra in (
+        ("single", []),
+        ("mesh", ["--mesh", "ind=8"]),
+        ("auto", ["--mesh", "auto"]),
+    ):
+        d = tmp_path / name
+        d.mkdir()
+        rc = cli_main([
+            "--file_gen_info", str(mini_scenario / "popinfo.txt"),
+            "--file_hap_name", str(mini_scenario / "hap_address.txt"),
+            "--file_recom_map", str(mini_scenario / "rmap.txt"),
+            "--file_cv_info", str(mini_scenario / "cv.info"),
+            "--file_cvs", str(mini_scenario / "cv_address.txt"),
+            "--seed", "777",
+            "--prefix", str(d / "out"),
+            "--out_interval",
+            *extra,
+        ])
+        assert rc == 0
+        outs[name] = d
+    text = capsys.readouterr().out
+    assert "Device mesh: {'ind': 8" in text  # sharded state confirmed in log
+    for name in [
+        "out.pop1.summary",
+        "out.info.pop1.gen4.txt",
+        "out.pop1.gen4.chr1.int",
+    ]:
+        for variant in ("mesh", "auto"):
+            assert filecmp.cmp(
+                outs["single"] / name, outs[variant] / name, shallow=False
+            ), (variant, name)
+
+
+def test_mesh_spec_parsing():
+    from geneevolve_tpu.config import ConfigError, parse_mesh_spec
+
+    assert parse_mesh_spec("auto") is None
+    assert parse_mesh_spec("ind=4") == (4, 1)
+    assert parse_mesh_spec("ind=4,loci=2") == (4, 2)
+    for bad in ("", "ind", "ind=0", "foo=2", "ind=x"):
+        with pytest.raises(ConfigError):
+            parse_mesh_spec(bad)
