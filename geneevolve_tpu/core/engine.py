@@ -146,7 +146,7 @@ def _reproduce_all(
     mn_cap: int,
     merge_ibd: bool = True,
     has_mut: bool = True,
-    xo_grid=None,  # (nchr, 2Wx+3, T) inverse-CDF grid (build_cdf_grid)
+    xo_grid=None,  # (nchr, T, 2Wx+3) inverse-CDF grid (build_cdf_grid)
     mut_grid=None,
     bp0=None,  # (nchr,) affine anchors, or None
     mut_bp0=None,

@@ -227,7 +227,7 @@ class StackedMaps:
     mut_lambda: jax.Array  # (nchr,) float32
     chr_start: jax.Array  # (nchr,)
     # inverse-CDF grids (build_cdf_grid), common T/W across chromosomes,
-    # stored transposed: (nchr, W+3, T)
+    # stored row-major: (nchr, T, 2W+3)
     xo_grid: jax.Array = None
     xo_grid_w: int = 0  # static
     mut_grid: jax.Array = None
@@ -297,9 +297,10 @@ class StackedMaps:
                 full[:, w_glob + 3 :] = 0  # run lengths of padding = 0
                 if tab is not None:
                     full[:] = tab  # force_w pads every table to w_glob
-                # transposed (2W+3, T): the device gathers table columns so
-                # the probe axis lands on lanes (see sample_point_process)
-                tables.append(full.T.copy())
+                # row-major (T, 2W+3): the device gathers table ROWS —
+                # the one gather layout the TPU backend handles at every
+                # probe-set size (see sample_point_process)
+                tables.append(full)
             return jnp.asarray(np.stack(tables)), w_glob
 
         xo_grid, xo_w = grids([m.xo_cum for m in maps])
@@ -401,7 +402,7 @@ def sample_point_process(
     bp: jax.Array,
     width,
     inclusive_bins: bool,
-    grid: jax.Array = None,  # (2W+3, T) int32 transposed build_cdf_grid table
+    grid: jax.Array = None,  # (T, 2W+3) int32 build_cdf_grid table (row-major)
     grid_w: int = 0,  # static W of the grid (0 = use searchsorted)
     bp0=None,  # affine anchor base (traced scalar) — with bp_step,
     bp_step=None,  # replaces the bp[bins] gather by arithmetic
@@ -443,27 +444,31 @@ def sample_point_process(
     )
     u = s[:, :cap] / jnp.maximum(denom, 1e-30)[:, None] * cum[-1]
     if grid is not None and grid_w > 0:
-        # inverse-CDF grid (build_cdf_grid): one narrow row gather +
+        # inverse-CDF grid (build_cdf_grid): one narrow ROW gather +
         # <=W in-register compares per probe, counting run lengths so a
         # probe lands exactly where searchsorted-right would even across
-        # runs of equal cum values. XLA tiles the gather result with the
-        # (2W+3)-wide component axis on lanes (a padding blow-up, GBs at
+        # runs of equal cum values. Rows (not columns): gathering along
+        # the minor axis of a transposed (2W+3, T) table crashes the
+        # XLA:TPU backend outright under vmap at >=22x3000x23 probes
+        # (TPU worker kernel fault, reproduced on v5e) — the leading-axis
+        # row gather is the supported path. The gathered rows pad the
+        # (2W+3)-wide component axis to 128 lanes (a blow-up, GBs at
         # n=300k), so the probe set is processed in lax.map chunks that
         # cap the padded temp at ~0.5 GB.
-        T = grid.shape[1]
+        T = grid.shape[0]
         t = jnp.clip(
             (u * (jnp.float32(T) / cum[-1])).astype(jnp.int32), 0, T - 1
         )
 
         def probe(tc, uc):
-            row = grid[:, tc]  # (2W+3, chunk) int32 — the only gather
-            base = row[0]
+            rows = grid[tc]  # (chunk, 2W+3) int32 — the only gather
+            base = rows[:, 0]
             dv = jax.lax.bitcast_convert_type(
-                row[1 : grid_w + 3], jnp.float32
+                rows[:, 1 : grid_w + 3], jnp.float32
             )
-            jump = row[grid_w + 3 :]  # (W, chunk) run lengths
-            le = (dv[1 : grid_w + 1] <= uc[None]).astype(jnp.int32)
-            cnt = jnp.sum(jump * le, axis=0)  # entries <= u after base
+            jump = rows[:, grid_w + 3 :]  # (chunk, W) run lengths
+            le = (dv[:, 1 : grid_w + 1] <= uc[:, None]).astype(jnp.int32)
+            cnt = jnp.sum(jump * le, axis=1)  # entries <= u after base
             cnt = jnp.minimum(cnt, (K - 1) - base)  # old min(bins, K-1)
             return base + cnt
 
@@ -479,7 +484,7 @@ def sample_point_process(
             )
             bins = bins.reshape(-1)[:P].reshape(n, cap)
         else:
-            bins = probe(t, u)
+            bins = probe(t.reshape(-1), u.reshape(-1)).reshape(n, cap)
     else:
         bins = jnp.searchsorted(cum, u, side="right")
         bins = jnp.minimum(bins, K - 1)

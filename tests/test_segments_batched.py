@@ -222,7 +222,7 @@ def test_cdf_grid_matches_searchsorted():
             )
             got = segments.sample_point_process(
                 key, n, cap, cum, lam, bp, width, inclusive,
-                grid=jnp.asarray(table.T.copy()), grid_w=W,
+                grid=jnp.asarray(table), grid_w=W,
                 bp0=jnp.asarray(bp[0]) if affine else None,
                 bp_step=(
                     jnp.asarray(width, segments.pos_dtype())
@@ -261,7 +261,7 @@ def test_cdf_grid_flat_runs_exact():
     )
     got = segments.sample_point_process(
         key, n, cap, cum, lam, bp, width, False,
-        grid=jnp.asarray(table.T.copy()), grid_w=W,
+        grid=jnp.asarray(table), grid_w=W,
     )
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
     # every sampled point sits inside a live bin
@@ -305,7 +305,7 @@ def test_cdf_grid_real_recom_map():
         )
         got = segments.sample_point_process(
             key, n, cap, cum, lam, bp, width, False,
-            grid=jnp.asarray(table.T.copy()), grid_w=W,
+            grid=jnp.asarray(table), grid_w=W,
         )
         np.testing.assert_array_equal(
             np.asarray(got), np.asarray(ref), err_msg=f"chr{chrom}"
