@@ -66,11 +66,19 @@ def _capacity_probe(
     xo_grid_w: int = 0,
     mut_grid_w: int = 0,
 ):
-    """Exact ledger-slot and (conservative) mutation-slot requirements of
-    the NEXT `_reproduce_all` call, drawn from the same keys. Runs before
-    the real pass so capacity growth happens while the old state is still
-    alive — the real pass donates the genome buffers (halving peak HBM),
-    which makes a redo-after-overflow impossible."""
+    """Generation plan: samples EVERY random draw of the coming reproduce
+    pass (crossover point processes, gamete start chromatids, de novo
+    mutations, their chromatid split) and returns the exact ledger-slot /
+    (conservative) mutation-slot requirements plus the sampled plan itself.
+    Runs before the real pass so capacity growth happens while the old
+    state is still alive — the real pass donates the genome buffers
+    (halving peak HBM), which makes a redo-after-overflow impossible — and
+    the real pass then CONSUMES the plan instead of re-drawing it (the
+    samplers are ~40% of the generation's device time at n=300k; drawing
+    once instead of twice pays for the plan's ~1.4 GB residency).
+
+    Returns (seg_need, mut_need, plan) with plan = (xo_f, xo_m, sh,
+    new_f, new_m) stacked over chromosomes."""
     nc = father.shape[0]
 
     def per_chr(st, mu, k, bp_c, xoc, xol, bw, mbp, mcum, mlam, ci):
@@ -93,20 +101,27 @@ def _capacity_probe(
         nv0 = segments.count_merge_valid(st[father], xo_f, sh[:, 0])
         nv1 = segments.count_merge_valid(st[mother], xo_m, sh[:, 1])
         seg_used = jnp.maximum(jnp.max(nv0), jnp.max(nv1))
+        big = segments._big()
         if has_mut:
-            big = segments._big()
             new = segments.sample_point_process(
                 k_mp, nc, mn_cap, mcum, mlam, mbp, 0, True,
                 grid=mg, grid_w=mut_grid_w, bp0=mb0, bp_step=mbstep,
             )
+            # chromatid split of the de novo mutations (was drawn by the
+            # real pass from the same k_mc before the plan refactor)
+            which = jax.random.randint(k_mc, (nc, mn_cap), 0, 2)
+            new_f = jnp.where(which == 0, new, big)
+            new_m = jnp.where(which == 1, new, big)
             mreal = jnp.sum((mu < big).astype(jnp.int32), axis=(1, 2))
             newr = jnp.sum((new < big).astype(jnp.int32), axis=1)
             mut_used = jnp.max(
                 jnp.maximum(mreal[father], mreal[mother]) + newr
             )
         else:
+            new_f = jnp.full((nc, 1), big, dtype=segments.pos_dtype())
+            new_m = new_f
             mut_used = jnp.zeros((), dtype=jnp.int32)
-        return seg_used, mut_used
+        return seg_used, mut_used, xo_f, xo_m, sh, new_f, new_m
 
     keys = jax.random.split(key, par_st.shape[0])
     xs = (
@@ -114,16 +129,19 @@ def _capacity_probe(
         bp, xo_cum, xo_lambda, bin_width, mut_bp, mut_cum, mut_lambda,
         jnp.arange(par_st.shape[0], dtype=jnp.int32),
     )
-    su, mu_used = jax.lax.map(lambda a: per_chr(*a), xs, batch_size=1)
-    return jnp.max(su), jnp.max(mu_used)
+    su, mu_used, xo_f, xo_m, sh, new_f, new_m = jax.lax.map(
+        lambda a: per_chr(*a), xs, batch_size=1
+    )
+    return (
+        jnp.max(su),
+        jnp.max(mu_used),
+        (xo_f, xo_m, sh, new_f, new_m),
+    )
 
 
 @partial(
     jax.jit,
-    static_argnames=(
-        "s_cap", "m_cap", "xo_cap", "mn_cap", "merge_ibd", "has_mut",
-        "xo_grid_w", "mut_grid_w",
-    ),
+    static_argnames=("s_cap", "m_cap", "merge_ibd", "has_mut"),
     donate_argnames=("par_st", "par_hap", "par_mut", "cv"),
 )
 def _reproduce_all(
@@ -132,38 +150,26 @@ def _reproduce_all(
     par_mut,  # (nchr, n, 2, M)
     father,  # (nc,) shared across chromosomes
     mother,
-    key,
-    bp,  # (nchr, K) stacked maps (zero-mass padding bins)
-    xo_cum,
-    xo_lambda,  # (nchr,)
-    bin_width,  # (nchr,)
-    mut_bp,  # (nchr, Km)
-    mut_cum,
-    mut_lambda,  # (nchr,)
+    xo_f,  # (nchr, nc, xo_cap) sampled plan from _capacity_probe
+    xo_m,
+    sh,  # (nchr, nc, 2)
+    new_f,  # (nchr, nc, mn_cap)
+    new_m,
     s_cap: int,
     m_cap: int,
-    xo_cap: int,
-    mn_cap: int,
     merge_ibd: bool = True,
     has_mut: bool = True,
-    xo_grid=None,  # (nchr, T, 2Wx+3) inverse-CDF grid (build_cdf_grid)
-    mut_grid=None,
-    bp0=None,  # (nchr,) affine anchors, or None
-    mut_bp0=None,
-    bp_step=None,  # (nchr,)
-    mut_bp_step=None,
-    xo_grid_w: int = 0,
-    mut_grid_w: int = 0,
     cv=None,  # (nchr, n, 2, C) uint8 resident CV alleles, or None
     cv_bp=None,  # (nchr, C) CV positions (all phenotypes concatenated)
 ):
     """All chromosomes of `reproduce` (`Simulation.cpp:2394-2493`) for all
-    children in one compiled call: vmap over the chromosome axis, with the
-    per-chromosome map scalars traced (not static), so one compilation
-    serves every chromosome and every generation of a fixed population
-    size. `has_mut=False` (no mutation map anywhere) skips the whole
-    mutation pipeline statically — the BIG-padded carrier arrays pass
-    through untouched.
+    children in one compiled call, consuming the plan (crossovers, start
+    chromatids, de novo mutations) sampled by `_capacity_probe`.
+    `has_mut=False` (no mutation map anywhere) skips the whole mutation
+    pipeline statically — the BIG-padded carrier arrays pass through
+    untouched. This is the population-resize path (n_children !=
+    n_parents): donation cannot alias anyway, so one program batches every
+    chromosome; the constant-size path is `_reproduce_group_inplace`.
 
     `cv` is the resident CV-allele matrix (single-population fast path):
     the child's alleles are the phase-selected parent alleles XOR the de
@@ -175,31 +181,55 @@ def _reproduce_all(
     novo flip is suppressed where the active parent chromatid already
     carries a mutation at that position (membership, not parity —
     `Simulation.cpp:2961-2970`)."""
+    per_chr = _make_per_chr(
+        father, mother, s_cap, m_cap, merge_ibd, has_mut, cv, cv_bp,
+    )
+    nc = father.shape[0]
+    xs = (
+        par_st, par_hap, par_mut, xo_f, xo_m, sh, new_f, new_m,
+        jnp.arange(par_st.shape[0], dtype=jnp.int32),
+    )
+    if os.environ.get("GE_VMAP_CHR") == "1":
+        # batched form: all chromosomes' meioses as one wide program
+        c_st, c_hap, c_mut, c_cv, su, mu_used = jax.vmap(per_chr)(*xs)
+    else:
+        # chunked scan over chromosomes (vmap width GE_CHR_BATCH per
+        # iteration): same values as full vmap, ~nchr/b x smaller peak
+        # merge scratch, while keeping the compiled program one small
+        # body. The merge transients are ~(2S+K)*nc*24 bytes per
+        # in-flight chromosome, so the default batch narrows as the child
+        # count grows.
+        if "GE_CHR_BATCH" in os.environ:
+            b = int(os.environ["GE_CHR_BATCH"])
+        else:
+            # transient budget: the merge materializes ~8 (L, nc) int32
+            # arrays per in-flight chromosome (L = 2S+K+1); cap the batch so
+            # that stays ~3 GB, and otherwise run every chromosome in one
+            # vmapped body (per-fusion launch overheads amortize across the
+            # batch axis)
+            L = 2 * s_cap + xo_f.shape[-1] + 1
+            b = max(1, int(3e9 / (L * max(nc, 1) * 4 * 8)))
+        b = max(1, min(b, par_st.shape[0]))
+        c_st, c_hap, c_mut, c_cv, su, mu_used = jax.lax.map(
+            lambda a: per_chr(*a), xs, batch_size=b
+        )
+    return c_st, c_hap, c_mut, c_cv, jnp.max(su), jnp.max(mu_used)
+
+
+def _make_per_chr(
+    father, mother, s_cap, m_cap, merge_ibd, has_mut, cv, cv_bp,
+):
+    """One chromosome's `reproduce` body (two meioses, mutation
+    inheritance, resident-CV transport), consuming the pre-sampled plan —
+    a closure shared by the all-chromosomes batch (`_reproduce_all`) and
+    the in-place path (`_reproduce_group_inplace`)."""
     nc = father.shape[0]
 
     def per_chr(
-        st, hp, mu, k, bp_c, xoc, xol, bw, mbp, mcum, mlam, ci,
+        st, hp, mu, xo_f, xo_m, sh, new_f, new_m, ci,
     ):
         cvr = cv[ci] if cv is not None else None  # (n, 2, C)
         q = cv_bp[ci] if cv_bp is not None else None  # (C,)
-        # grid/affine tables are indexed by the chromosome id inside the
-        # body (a single-row gather) so the lax.map xs tuple stays plain
-        xg = xo_grid[ci] if xo_grid is not None else None
-        mg = mut_grid[ci] if mut_grid is not None else None
-        b0 = bp0[ci] if bp0 is not None else None
-        mb0 = mut_bp0[ci] if mut_bp0 is not None else None
-        bstep = bp_step[ci] if bp0 is not None else None
-        mbstep = mut_bp_step[ci] if mut_bp0 is not None else None
-        k_xo_f, k_xo_m, k_sh, k_mp, k_mc = jax.random.split(k, 5)
-        xo_f = segments.sample_point_process(
-            k_xo_f, nc, xo_cap, xoc, xol, bp_c, bw, False,
-            grid=xg, grid_w=xo_grid_w, bp0=b0, bp_step=bstep,
-        )
-        xo_m = segments.sample_point_process(
-            k_xo_m, nc, xo_cap, xoc, xol, bp_c, bw, False,
-            grid=xg, grid_w=xo_grid_w, bp0=b0, bp_step=bstep,
-        )
-        sh = jax.random.randint(k_sh, (nc, 2), 0, 2)
         st0, hap0, nv0 = segments.meiose(
             st[father], hp[father], xo_f, sh[:, 0], s_cap, merge_ibd
         )
@@ -210,17 +240,8 @@ def _reproduce_all(
         child_hap = jnp.stack([hap0, hap1], axis=1)
 
         if has_mut:
-            new = segments.sample_point_process(
-                k_mp, nc, mn_cap, mcum, mlam, mbp, 0, True,
-                grid=mg, grid_w=mut_grid_w, bp0=mb0, bp_step=mbstep,
-            )
-            which = jax.random.randint(k_mc, (nc, mn_cap), 0, 2)
-            big = segments._big()
-            # chromatid split keeps each gamete's list sorted: masked slots
-            # jump to BIG but the kept subsequence stays ascending, and
-            # inherit_mutations re-sorts the merged result anyway
-            new_f = jnp.where(which == 0, new, big)
-            new_m = jnp.where(which == 1, new, big)
+            # new_f/new_m: the plan's de novo mutations, already split by
+            # chromatid (BIG-masked complements of one sampled point set)
             mut0, nm0 = segments.inherit_mutations(
                 mu[father], xo_f, sh[:, 0], new_f, m_cap
             )
@@ -276,37 +297,84 @@ def _reproduce_all(
         seg_used = jnp.maximum(jnp.max(nv0), jnp.max(nv1))
         return child_st, child_hap, child_mut, child_cv, seg_used, mut_used
 
-    keys = jax.random.split(key, par_st.shape[0])
-    xs = (
-        par_st, par_hap, par_mut, keys,
-        bp, xo_cum, xo_lambda, bin_width, mut_bp, mut_cum, mut_lambda,
-        jnp.arange(par_st.shape[0], dtype=jnp.int32),
+    return per_chr
+
+
+@partial(
+    jax.jit,
+    static_argnames=("gn", "s_cap", "m_cap", "merge_ibd", "has_mut"),
+    donate_argnames=("par_st", "par_hap", "par_mut", "cv"),
+)
+def _reproduce_group_inplace(
+    par_st,  # (nchr, n, 2, S) — donated; children overwrite chrs c0..c0+gn
+    par_hap,
+    par_mut,
+    father,  # (n,)
+    mother,
+    xo_f,  # (nchr, n, xo_cap) sampled plan (from _capacity_probe)
+    xo_m,
+    sh,  # (nchr, n, 2)
+    new_f,  # (nchr, n, mn_cap)
+    new_m,
+    c0,  # () int32 — first chromosome of the group (traced: one program
+    #       serves every group of width gn)
+    gn: int,
+    s_cap: int,
+    m_cap: int,
+    merge_ibd: bool = True,
+    has_mut: bool = True,
+    cv=None,
+    cv_bp=None,
+):
+    """A group of gn chromosomes of `reproduce`, updating the stacked
+    genome planes IN PLACE (donated buffers + dynamic-update-slice alias,
+    so the child rows land in the parents' HBM). This is the
+    constant-population-size path: the all-chromosomes `_reproduce_all`
+    scan cannot alias its donated inputs to the stacked scan outputs (the
+    last chromosome still reads the input when the first output slab is
+    written), so its peak HBM is 2x state + merge transients — which OOMs
+    a 16 GB chip at the reference's 300k x 22-chr Table 3.1 shape.
+    Chaining these group programs keeps peak at ~1x state + one
+    chromosome's transients (the group iterates its chromosomes with an
+    internal batch of 1), while grouping amortizes the per-dispatch
+    overhead (~0.25 s per program on a tunneled chip). Chromosome ci
+    consumes plan rows [ci], exactly as the batched path does — the two
+    formulations are bit-identical."""
+    per_chr = _make_per_chr(
+        father, mother, s_cap, m_cap, merge_ibd, has_mut, cv, cv_bp,
     )
-    if os.environ.get("GE_VMAP_CHR") == "1":
-        # batched form: all chromosomes' meioses as one wide program
-        c_st, c_hap, c_mut, c_cv, su, mu_used = jax.vmap(per_chr)(*xs)
+    z = jnp.zeros((), dtype=c0.dtype)
+
+    def slab(x):
+        sizes = (gn,) + x.shape[1:]
+        return jax.lax.dynamic_slice(x, (c0,) + (z,) * (x.ndim - 1), sizes)
+
+    xs = (
+        slab(par_st), slab(par_hap), slab(par_mut),
+        slab(xo_f), slab(xo_m), slab(sh), slab(new_f), slab(new_m),
+        c0 + jnp.arange(gn, dtype=c0.dtype),
+    )
+    # unrolled (NOT lax.map): the scan wrapper's staging boundaries cost
+    # ~30% of the whole pass (measured 17.6 vs 13.4 s/gen at n=300k)
+    per = [
+        per_chr(*(x[i] for x in xs[:-1]), xs[-1][i]) for i in range(gn)
+    ]
+    c_st, c_hap, c_mut, c_cv = (
+        jnp.stack([p[j] for p in per]) for j in range(4)
+    )
+    su = jnp.max(jnp.stack([p[4] for p in per]))
+    mu_used = jnp.max(jnp.stack([p[5] for p in per]))
+    start = (c0, z, z, z)
+    out_st = jax.lax.dynamic_update_slice(par_st, c_st, start)
+    out_hap = jax.lax.dynamic_update_slice(
+        par_hap, c_hap.astype(par_hap.dtype), start
+    )
+    out_mut = jax.lax.dynamic_update_slice(par_mut, c_mut, start)
+    if cv is not None:
+        out_cv = jax.lax.dynamic_update_slice(cv, c_cv, start)
     else:
-        # chunked scan over chromosomes (vmap width GE_CHR_BATCH per
-        # iteration): same values as full vmap (per-chromosome keys are
-        # pre-split), ~nchr/b x smaller peak merge scratch, while keeping
-        # the compiled program one small body. The merge transients are
-        # ~(2S+K)*nc*24 bytes per in-flight chromosome, so the default
-        # batch narrows as the child count grows.
-        if "GE_CHR_BATCH" in os.environ:
-            b = int(os.environ["GE_CHR_BATCH"])
-        else:
-            # transient budget: the merge materializes ~8 (L, nc) int32
-            # arrays per in-flight chromosome (L = 2S+K+1); cap the batch so
-            # that stays ~3 GB, and otherwise run every chromosome in one
-            # vmapped body (per-fusion launch overheads amortize across the
-            # batch axis)
-            L = 2 * s_cap + xo_cap + 1
-            b = max(1, int(3e9 / (L * max(nc, 1) * 4 * 8)))
-        b = max(1, min(b, par_st.shape[0]))
-        c_st, c_hap, c_mut, c_cv, su, mu_used = jax.lax.map(
-            lambda a: per_chr(*a), xs, batch_size=b
-        )
-    return c_st, c_hap, c_mut, c_cv, jnp.max(su), jnp.max(mu_used)
+        out_cv = None
+    return out_st, out_hap, out_mut, out_cv, su, mu_used
 
 
 @jax.jit
@@ -379,7 +447,13 @@ def _ad_resident(
             c[:, 0], c[:, 1], a_b, a_b, d_b, d_b, dominance_on, n_real
         )
 
-    A, D = jax.vmap(per_chr)(cv, a_row, d_row)
+    # chunked over chromosomes: the elementwise chain materializes f32
+    # (n, ncv) temporaries per in-flight chromosome (~120 MB each at
+    # n=300k); a 22-wide vmap batch stacked several GB of them on top of
+    # the resident genome state and OOMed a 16 GB chip at Table-3.1 scale
+    A, D = jax.lax.map(
+        lambda x: per_chr(*x), (cv, a_row, d_row), batch_size=4
+    )
     return jnp.sum(A, axis=0), jnp.sum(D, axis=0)
 
 
@@ -484,6 +558,11 @@ class Simulation:
         # (seg_used, mut_used, s_cap, m_cap, gen, pop) tuples awaiting the
         # deferred overflow check (see _check_capacity_guard)
         self._pending_used: list = []
+        # background writer for the per-generation info files (_save_info)
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._io_pool = ThreadPoolExecutor(max_workers=1)
+        self._io_futures: list = []
         self._load()
 
     def _check_capacity_guard(self) -> None:
@@ -1166,10 +1245,11 @@ class Simulation:
             mother = jax.device_put(mother, sh)
         sm = p.smaps
         key = stage_key(self.key, gen, Stage.CROSSOVER, p.index)
-        # capacity pre-pass (same keys as the real pass): growth happens
-        # while the old state is alive — the real pass donates the genome
-        # buffers, so an after-the-fact redo is impossible
-        seg_need, mut_need = _capacity_probe(
+        # plan pre-pass: samples every draw of the generation ONCE and
+        # returns exact capacity needs; growth happens while the old state
+        # is alive — the real pass donates the genome buffers, so an
+        # after-the-fact redo is impossible
+        seg_need, mut_need, plan_arrays = _capacity_probe(
             st.seg_st,
             st.mut,
             father,
@@ -1204,37 +1284,48 @@ class Simulation:
             self.m_cap = int(mut_need) * 3 // 2 + 8
             st.mut = self._put(_pad_positions(st.mut, self.m_cap))
             self._log(f"      [capacity grow] M={self.m_cap}")
-        seg_st, seg_hap, mut, cv, seg_used, mut_used = _reproduce_all(
-            st.seg_st,
-            st.seg_hap,
-            st.mut,
-            father,
-            mother,
-            key,
-            sm.bp,
-            sm.xo_cum,
-            sm.xo_lambda,
-            sm.bin_width,
-            sm.mut_bp,
-            sm.mut_cum,
-            sm.mut_lambda,
-            self.s_cap,
-            self.m_cap,
-            self.xo_cap,
-            self.mn_cap,
-            self.merge_ibd,
-            self.has_mut,
-            sm.xo_grid,
-            sm.mut_grid,
-            sm.bp0,
-            sm.mut_bp0,
-            sm.bp_step,
-            sm.mut_bp_step,
-            sm.xo_grid_w,
-            sm.mut_grid_w,
-            st.cv,
-            self.cv_bp_all,
+        xo_f, xo_m, sh_plan, new_f, new_m = plan_arrays
+        statics = dict(
+            s_cap=self.s_cap,
+            m_cap=self.m_cap,
+            merge_ibd=self.merge_ibd,
+            has_mut=self.has_mut,
         )
+        if (
+            n_pad == st.seg_st.shape[1]
+            and os.environ.get("GE_NO_INPLACE_REPRO") != "1"
+        ):
+            # constant population size: chain grouped in-place programs
+            # (donated planes; peak HBM ~1x state — see
+            # _reproduce_group_inplace). Results are bit-identical to the
+            # batched path (each chromosome consumes its own plan rows).
+            nchr = st.seg_st.shape[0]
+            gn = min(nchr, int(os.environ.get("GE_INPLACE_GROUP", "2")))
+            seg_st, seg_hap, mut, cv = st.seg_st, st.seg_hap, st.mut, st.cv
+            seg_used = mut_used = None
+            for c0 in range(0, nchr, gn):
+                g = min(gn, nchr - c0)
+                seg_st, seg_hap, mut, cv, su, mu_u = _reproduce_group_inplace(
+                    seg_st, seg_hap, mut,
+                    father, mother,
+                    xo_f, xo_m, sh_plan, new_f, new_m,
+                    jnp.asarray(c0, dtype=jnp.int32), gn=g,
+                    cv=cv, cv_bp=self.cv_bp_all, **statics,
+                )
+                seg_used = su if seg_used is None else jnp.maximum(seg_used, su)
+                mut_used = mu_u if mut_used is None else jnp.maximum(mut_used, mu_u)
+        else:
+            seg_st, seg_hap, mut, cv, seg_used, mut_used = _reproduce_all(
+                st.seg_st,
+                st.seg_hap,
+                st.mut,
+                father,
+                mother,
+                xo_f, xo_m, sh_plan, new_f, new_m,
+                cv=st.cv,
+                cv_bp=self.cv_bp_all,
+                **statics,
+            )
         st.seg_st = st.seg_hap = st.mut = st.cv = None  # donated
         # capacity correctness rests on _capacity_probe (a separately
         # compiled program) reproducing the real pass's draws bit-for-bit;
@@ -1389,10 +1480,29 @@ class Simulation:
         p.traj["var_mv"][gen] = phenotype.var(st.mv)
         p.traj["var_sv"][gen] = phenotype.var(st.sv)
 
+    def _drain_io(self) -> None:
+        """Wait for queued info-file writes; re-raise any writer error."""
+        futures, self._io_futures = self._io_futures, []
+        for f in futures:
+            f.result()
+
     def _save_info(self, p: PopRuntime, gen: int) -> None:
-        """Per-individual info file, schema per `Population::ras_save_human_info`
-        (`Population.cpp:510-568`)."""
+        """Per-individual info file, queued on a background writer thread:
+        the text formatting of n rows (~1.3 s at n=300k) overlaps the next
+        generation's device work. The arrays snapshot by reference — each
+        generation builds fresh PopState arrays, so the previous
+        generation's are immutable once queued. `_drain_io` joins before
+        anything that must observe the files (summary, genotype outputs,
+        run end)."""
         st = p.state
+        self._io_futures = [f for f in self._io_futures if not f.done()]
+        self._io_futures.append(
+            self._io_pool.submit(self._save_info_sync, p, st, gen)
+        )
+
+    def _save_info_sync(self, p: PopRuntime, st: PopState, gen: int) -> None:
+        """Schema per `Population::ras_save_human_info`
+        (`Population.cpp:510-568`)."""
         path = f"{self.cfg.prefix}.info.pop{p.index + 1}.gen{gen}.txt"
         cols = ["ID", "ID_Father", "ID_Mother", "ID_Fathers_Father",
                 "ID_Fathers_Mother", "ID_Mothers_Father", "ID_Mothers_Mother",
@@ -1437,6 +1547,7 @@ class Simulation:
 
     def write_summary(self) -> None:
         """`<prefix>.pop<i>.summary` (`Simulation.cpp:782-834`)."""
+        self._drain_io()
         for p in self.pops:
             path = f"{self.cfg.prefix}.pop{p.index + 1}.summary"
             with open(path, "w") as f:

@@ -594,6 +594,85 @@ def rank_compact_T(cand, valid, cap, *vals):
     return (*outs, n_valid)
 
 
+def merge3_T(
+    X: jax.Array,  # (Kx, nc) small candidate list (crossovers; NOT sorted)
+    A: jax.Array,  # (S, nc) sorted-ascending valid prefix (BIG padded)
+    B: jax.Array,  # (S, nc) sorted likewise
+    vX: jax.Array,  # bool masks, same shapes
+    vA: jax.Array,
+    vB: jax.Array,
+    hX: jax.Array,  # carried hap per candidate
+    hA: jax.Array,
+    hB: jax.Array,
+    cap: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Stable 3-list merge by rank, exploiting that A and B are sorted.
+
+    Produces exactly `rank_compact_T`'s output for the concatenated
+    candidate list [X; A; B] (rank by (value, candidate index)), but the
+    within-A and within-B ranks collapse to prefix-sums of the valid mask
+    (their valid entries are ascending — the ledger invariant), so the
+    pairwise compare work drops from (Kx+2S)^2 to Kx^2 + 2*Kx*S + S^2 per
+    column — ~3x fewer at reference shapes, on the engine's hottest op.
+    Tie rules follow candidate order X < A < B: an A element counts X
+    elements with value <= its own, B elements with value strictly <."""
+    big = _big()
+    i32 = jnp.int32
+    Kx = X.shape[0]
+    S = A.shape[0]
+    nc = X.shape[1]
+    Xm = jnp.where(vX, X, big)
+    Am = jnp.where(vA, A, big)
+    Bm = jnp.where(vB, B, big)
+
+    def cnt(P, Q, inclusive):
+        # (Lq, nc): per Q element, #P elements < (or <=) it; BIG-masked
+        # P never counts against a valid Q (valid < BIG)
+        if inclusive:
+            hit = P[None, :, :] <= Q[:, None, :]
+        else:
+            hit = P[None, :, :] < Q[:, None, :]
+        return jnp.sum(hit.astype(i32), axis=1)
+
+    # within-X: full (small) stable rank
+    ltX = (Xm[None, :, :] < Xm[:, None, :]) | (
+        (Xm[None, :, :] == Xm[:, None, :])
+        & (jnp.arange(Kx)[None, :, None] < jnp.arange(Kx)[:, None, None])
+    )
+    ownX = jnp.sum((ltX & vX[None, :, :]).astype(i32), axis=1)
+    vAi = vA.astype(i32)
+    vBi = vB.astype(i32)
+    prefA = jnp.cumsum(vAi, axis=0) - vAi
+    prefB = jnp.cumsum(vBi, axis=0) - vBi
+    rank_X = ownX + cnt(Am, Xm, False) + cnt(Bm, Xm, False)
+    rank_A = prefA + cnt(Xm, Am, True) + cnt(Bm, Am, False)
+    rank_B = prefB + cnt(Xm, Bm, True) + cnt(Am, Bm, True)
+    n_valid = (
+        jnp.sum(vX.astype(i32), axis=0)
+        + jnp.sum(vAi, axis=0)
+        + jnp.sum(vBi, axis=0)
+    )
+    slot = jnp.arange(cap)[:, None, None]  # (cap, 1, 1)
+    st_acc = jnp.zeros((cap, nc), dtype=A.dtype)
+    hap_acc = jnp.zeros((cap, nc), dtype=jnp.int32)
+    for val, h, rank, v in (
+        (Xm, hX, rank_X, vX),
+        (Am, hA, rank_A, vA),
+        (Bm, hB, rank_B, vB),
+    ):
+        hit = (rank[None, :, :] == slot) & v[None, :, :]
+        st_acc = st_acc + jnp.sum(
+            jnp.where(hit, val[None, :, :], 0), axis=1
+        ).astype(A.dtype)
+        hap_acc = hap_acc + jnp.sum(
+            jnp.where(hit, h[None, :, :], 0), axis=1
+        ).astype(jnp.int32)
+    pad = jnp.arange(cap)[:, None] >= n_valid[None, :]
+    out_st = jnp.where(pad, big, st_acc).astype(A.dtype)
+    out_hap = jnp.where(pad, 0, hap_acc)
+    return out_st, out_hap, n_valid
+
+
 def meiose(
     par_st: jax.Array,  # (nc, 2, S) parent chromatid boundary starts
     par_hap: jax.Array,  # (nc, 2, S)
@@ -632,32 +711,30 @@ def meiose(
     xo_T = xo.T  # (K, nc)
     chr_start = A[0]  # ledger invariant: first boundary = chr start
     X = jnp.concatenate([chr_start[None], xo_T], axis=0)  # (K+1, nc)
-    cand = jnp.concatenate([X, A, B], axis=0)  # (L, nc)
-    act = _active_at_T(xo_T, start_hap, cand)
+    actX = _active_at_T(xo_T, start_hap, X)
+    actA = _active_at_T(xo_T, start_hap, A)
+    actB = _active_at_T(xo_T, start_hap, B)
     # parents' row 0 is always chr_start (ledger invariant) and X row 0
     # supplies that boundary with the identical covering hap — keeping both
     # would accumulate one duplicate slot per generation, so the parents'
     # copies are dropped unconditionally
     not_first = jnp.arange(S)[:, None] > 0
-    valid = jnp.concatenate(
-        [
-            jnp.ones((1, nc), dtype=bool),
-            xo_T < big,
-            (A < big) & (act[1 + K : 1 + K + S] == 0) & not_first,
-            (B < big) & (act[1 + K + S :] == 1) & not_first,
-        ],
-        axis=0,
+    vX = jnp.concatenate(
+        [jnp.ones((1, nc), dtype=bool), xo_T < big], axis=0
     )
+    vA = (A < big) & (actA == 0) & not_first
+    vB = (B < big) & (actB == 1) & not_first
     # hap per candidate: crossover rows look up the covering segment of the
     # newly-active chromatid; parent-boundary rows carry their own hap (a
     # position-duplicate within one chromatid always travels with its twin,
     # so own-hap vs last-duplicate-hap is probe-equivalent)
     hX = jnp.where(
-        act[: 1 + K] == 0, _seg_lookup_T(A, hA, X), _seg_lookup_T(B, hB, X)
+        actX == 0, _seg_lookup_T(A, hA, X), _seg_lookup_T(B, hB, X)
     )
-    hap_cand = jnp.concatenate([hX, hA, hB], axis=0).astype(jnp.int32)
-    st, hap, n_valid = rank_compact_T(
-        jnp.where(valid, cand, big), valid, capacity, hap_cand
+    st, hap, n_valid = merge3_T(
+        X, A, B, vX, vA, vB,
+        hX.astype(jnp.int32), hA.astype(jnp.int32), hB.astype(jnp.int32),
+        capacity,
     )
     if not merge_ibd:
         # exact part splitting: drop earlier entries of equal positions
