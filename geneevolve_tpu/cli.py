@@ -14,23 +14,82 @@ from geneevolve_tpu.config import ConfigError, parse_args, print_config
 
 _HELP = """geneevolve-tpu — TPU-native forward-time whole-genome simulator
 
-Required (per population; separate populations with --next_population):
-  --file_gen_info <file>      generation schedule (6 columns)
-  --file_hap_name <file> | --file_ref_vcf <file>
-  --file_recom_map <file>
-  --file_cv_info <file>       (repeatable, one per phenotype)
-  --file_cvs <file>           (repeatable, one per phenotype)
+ A fast and memory efficient forward-time simulator of whole-genome data:
+ complex evolutionary scenarios with individual-level phenotypes and
+ realistic whole-genome sequence or SNP data — mating systems, selection,
+ population size and structure, migration, recombination, mutation, and
+ environmental effects. Flag-compatible with GeneEvolve
+ (`/root/reference/src/Main.cpp:124-199`); the Examples.zip scenario
+ scripts run unmodified.
 
-Optional per phenotype (repeatable): --va --vd --vc --ve --vf --omega --beta --lambda
-Optional per population: --file_mutation_map --MM <p> --RM
-Global: --gamma (per phenotype) --file_migration --avoid_inbreeding
-        --vt_type {1,2} --seed <n> --prefix <s> --debug
-        --profile <dir>  (write a jax.profiler trace of the main loop)
-        --mesh auto|ind=N[,loci=M]  (shard the run over a device mesh;
-        outputs are bit-identical to the single-device run)
-Output: --out_hap --out_plink --out_plink01 --out_vcf --out_interval
-        --file_output_generations <file> --no_output
-Checkpointing: --checkpoint_every <n> --resume <prefix>.ckpt.npz
+ -----------------------------------------------------------------------
+                 geneevolve-tpu - List of Usage Options
+ -----------------------------------------------------------------------
+
+ --------- Population information
+        --file_gen_info          : [filename]
+          Generation schedule, one line per generation with columns
+          pop_size mat_cor offspring_dist(p|f) selection_func(logit|
+          probit|stab|thr|no) and its 2 parameters.
+        --file_hap_name          : [filename]
+          Per-chromosome SHAPEIT .hap/.legend/.indv address list.
+        --file_ref_vcf           : [filename]
+          Per-chromosome phased-VCF address list (wins if both given).
+        --file_recom_map         : [filename]
+        --file_mutation_map      : [filename]
+        --RM                     : [off]  ->  Random Mating
+        --MM                     : [0]
+          Percentage of individuals with more than 1 spouse (0<=MM<=1).
+        --vt_type                : [1]
+          Vertical transmission: 1 = parents' phenotype, 2 = parents' F.
+        --next_population        :
+          This keyword separates consecutive populations' option sets.
+
+ --------- Phenotypes (each flag repeatable, one per phenotype)
+        --file_cv_info           : [filename]  (chr pos a d per CV)
+        --file_cvs               : [filename]  (founder CV hap addresses)
+        --va                     : [-1]   ->  variance of additive effect
+                                   (-1 means no variance transform)
+        --vd                     : [-1]   ->  variance of dominance effect
+                                   (-1 means no variance transform)
+        --vc                     : [0]    ->  variance of sibling (common) effect
+        --ve                     : [1]    ->  variance of environment effect
+        --vf                     : [0]    ->  variance of familial effect
+        --omega                  : [1]    ->  coefficient for mating value
+        --lambda                 : [1]    ->  coefficient for selection value
+        --beta                   : [1]    ->  coefficient for familial effect
+
+ --------- Immigration parameters
+        --file_migration         : [filename]  (row-stochastic n_pop^2 matrix
+          per generation; required when more than one population)
+
+ --------- Environmental effects specific to each population (per phenotype)
+        --gamma                  : [0]
+
+ --------- Output parameters
+        --out_hap                : [Off]  ->  [On] output in the [hap] format
+        --out_plink              : [Off]  ->  [On] output in the [plink] format
+        --out_plink01            : [Off]  ->  [On] output in the [plink01] format
+        --out_vcf                : [Off]  ->  [On] output in the [vcf] format
+        --out_interval           : [Off]  ->  [On] output in the [interval] format
+        --file_output_generations: [filename]
+          List of generations to write genotypes for, one per line.
+        --no_output              : accepted for Examples.zip compatibility
+
+ --------- Other parameters
+        --prefix                 : [out]
+        --avoid_inbreeding       : [Off]  ->  [On] means no inbreeding
+        --seed                   : [0]    ->  any positive number (0 = clock)
+        --debug                  : [Off]
+
+ --------- TPU-native extensions (not in the reference)
+        --mesh auto|ind=N[,loci=M] : shard the run over a device mesh
+          (outputs bit-identical to the single-device run)
+        --backend segment|dense  : genome engine (dense = materialized
+          bit-packed planes, single population, highest throughput)
+        --device_mating          : mate pairing on device (XLA collectives)
+        --checkpoint_every <n> / --resume <prefix>.ckpt.npz
+        --profile <dir>          : jax.profiler trace of the main loop
 """
 
 

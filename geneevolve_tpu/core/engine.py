@@ -563,6 +563,10 @@ class Simulation:
 
         self._io_pool = ThreadPoolExecutor(max_workers=1)
         self._io_futures: list = []
+        # realized-N law: False = reference Poisson(pop_size) generation
+        # sizes (`Simulation.cpp:2329-2337`); True = condition on exactly
+        # pop_size (fixed-shape engines; dense backend sets this)
+        self.exact_n = os.environ.get("GE_EXACT_N") == "1"
         self._load()
 
     def _check_capacity_guard(self) -> None:
@@ -634,6 +638,27 @@ class Simulation:
                 hap_addr = tables.read_hap_address(pcfg.file_hap_name)
                 vcf_addr = []
                 chrs = [a[0] for a in hap_addr]
+                # cross-check .indv line count vs hap column count per
+                # chromosome, and equality across chromosomes, at load
+                # (`Simulation.cpp:290-320`, `format_hap.cpp:160-183`) —
+                # a mismatched panel must fail here, not at output time
+                n_per_chr = []
+                for _c, f_hap, _f_leg, f_indv in hap_addr:
+                    with open(f_hap) as fh:
+                        hap_ncol = len(fh.readline().split())
+                    with open(f_indv) as fi:
+                        indv_nrow = sum(1 for ln in fi if ln.strip())
+                    if indv_nrow * 2 != hap_ncol:
+                        raise SimulationError(
+                            f"Number of individuals are not equal in files "
+                            f"[{f_hap}] and [{f_indv}]."
+                        )
+                    n_per_chr.append(indv_nrow)
+                if any(x != n_per_chr[0] for x in n_per_chr):
+                    raise SimulationError(
+                        "Number of individuals are not equal in different "
+                        "chromosomes."
+                    )
                 indv_ids = hap_io.read_indv(hap_addr[0][3])
             rmaps = tables.read_recom_map(pcfg.file_recom_map, chrs)
             mmaps = (
@@ -1128,6 +1153,19 @@ class Simulation:
 
         st = p.state
         key = stage_key(self.key, gen, Stage.MATE, p.index)
+        law = p.schedule.offspring_dist[g]
+        if law in ("f", "F") or self.exact_n:
+            n_emit = realized = pop_size
+        else:
+            # realized generation size ~ Poisson(pop_size)
+            # (`Simulation.cpp:2329-2337`); the device program emits a
+            # static padded child count and the realized total is sliced
+            # off the front (categorical draws are prefix-stable)
+            rng_n = np.random.default_rng(
+                np_seed(self.cfg.seed, gen, Stage.MATE, p.index)
+            )
+            n_emit = pop_size + 4 * int(np.sqrt(pop_size)) + 16
+            realized = min(max(1, int(rng_n.poisson(pop_size))), n_emit)
         plan = md.assort_mate_device(
             key,
             jnp.asarray(st.mv, dtype=jnp.float32),
@@ -1137,6 +1175,9 @@ class Simulation:
             float(p.schedule.mat_cor[g]),
             self.cfg.avoid_inbreeding,
             pop_size,
+            mm_percent=p.mm_percent,
+            offspring_dist=law,
+            n_children=n_emit,
         )
         nc = int(plan.n_couples)
         if nc == 0:
@@ -1145,7 +1186,7 @@ class Simulation:
             father_pos=np.asarray(plan.father_pos)[:nc],
             mother_pos=np.asarray(plan.mother_pos)[:nc],
             inbred=np.asarray(plan.inbred)[:nc],
-            child_couple=np.asarray(plan.child_couple),
+            child_couple=np.asarray(plan.child_couple)[:realized],
         )
 
     # ------------------------------------------------------------------ step
@@ -1160,12 +1201,7 @@ class Simulation:
                 np_seed(self.cfg.seed, gen, Stage.MATE, p.index)
             )
             with self.timer("mate"):
-                if (
-                    self.cfg.device_mating
-                    and not p.rm
-                    and p.mm_percent == 0
-                    and sched.offspring_dist[g] not in ("f", "F")
-                ):
+                if self.cfg.device_mating and not p.rm:
                     plan = self._device_mate(p, gen, pop_size, g)
                 elif p.rm:
                     plan = mating.random_mate(
@@ -1183,6 +1219,7 @@ class Simulation:
                         self.cfg.avoid_inbreeding,
                         sched.offspring_dist[g],
                         pop_size,
+                        exact_n=self.exact_n,
                     )
             self._log(
                 f"      pop {p.index + 1} gen {gen}: couples={plan.n_couples} "
@@ -1228,6 +1265,24 @@ class Simulation:
         self._check_capacity_guard()
         n_child = len(plan.child_father)
         n_pad = self._pad_n(n_child)
+        # realized-N jitter absorption: under the Poisson offspring law the
+        # realized size wobbles ~pop_size +- sqrt(pop_size) per generation.
+        # Reusing the parents' plane rows (when they fit and are plausibly
+        # jitter- not schedule-sized) keeps shapes constant so the in-place
+        # reproduce program is reused instead of recompiling every
+        # generation; fresh allocations take ~4-sigma headroom so later
+        # generations fit too. Padding rows are meioses of parent 0, masked
+        # out of every statistic and sliced off every output.
+        g = gen - 1
+        law_p = not p.rm and p.schedule.offspring_dist[g] not in ("f", "F")
+        if law_p and not self.exact_n:
+            sigma = int(np.sqrt(max(n_child, 1)))
+            par_rows = st.seg_st.shape[1]
+            hi = self._pad_n(n_child + 8 * sigma + 64)
+            if n_pad <= par_rows <= hi:
+                n_pad = par_rows
+            else:
+                n_pad = self._pad_n(n_child + 4 * sigma + 16)
         # pad parent indices with 0: pad children are real meioses of
         # parent 0, never read (RNG draws are prefix-stable in the leading
         # axis, so real children's draws are unchanged by padding)
@@ -1480,6 +1535,40 @@ class Simulation:
         p.traj["var_mv"][gen] = phenotype.var(st.mv)
         p.traj["var_sv"][gen] = phenotype.var(st.sv)
 
+    def show_results(self) -> None:
+        """End-of-run console table of the per-generation variance
+        components (`ras_show_res`, `Simulation.cpp:704-780`): first 40
+        generations, fixed 3 decimals, reference row labels."""
+        n_print = 40
+        for p in self.pops:
+            self._log(f" ---------- Population {p.index + 1}")
+            G = p.traj["var_A"].shape[1]
+            m = min(G, n_print)
+            for j in range(self.n_pheno):
+                self._log(f" phenotype: {j + 1}")
+                rows = [
+                    ("   var_A:", p.traj["var_A"][j, :m]),
+                    ("   var_D:", p.traj["var_D"][j, :m]),
+                    ("   var_G:", p.traj["var_G"][j, :m]),
+                    ("   var_C:", p.traj["var_C"][j]),  # full (`:735`)
+                    ("   var_E:", p.traj["var_E"][j, :m]),
+                    ("   var_F:", p.traj["var_F"][j, :m]),
+                    ("   var_P:", p.traj["var_P"][j, :m]),
+                    ("   h2   :", p.traj["h2"][j, :m]),
+                ]
+                for label, vals in rows:
+                    self._log(
+                        label + "".join(f" {v:.3f}" for v in vals)
+                    )
+            self._log(
+                " var_mating_value   :"
+                + "".join(f" {v:.3f}" for v in p.traj["var_mv"][:m])
+            )
+            self._log(
+                " var_selection_value:"
+                + "".join(f" {v:.3f}" for v in p.traj["var_sv"][:m])
+            )
+
     def _drain_io(self) -> None:
         """Wait for queued info-file writes; re-raise any writer error."""
         futures, self._io_futures = self._io_futures, []
@@ -1603,6 +1692,7 @@ class Simulation:
                     checkpoint.save(self, gen, f"{cfg.prefix}.ckpt.npz")
         self._check_capacity_guard()  # last generation's deferred check
         self.timer.report(self._log)
+        self.show_results()  # `ras_show_res` console table (`:704-780`)
         self.write_summary()
         if not self.out_gens and (
             self.cfg.out_hap

@@ -14,9 +14,15 @@ Semantics follow the reference:
   ranks; inbreeding veto via shared parent/grandparent IDs; offspring counts
   Poisson(pop_size/eligible-couples) or fixed+remainder.
 
-Divergence (documented in DESIGN.md): we draw exactly `pop_size` children and
-assign couples multinomially, which equals the reference's Poisson household
-law conditioned on the realized total, keeping shapes static for XLA.
+The "p" offspring law draws the realized generation size N ~ Poisson(sum of
+per-couple rates) = Poisson(pop_size) first, then assigns couples
+multinomially — exactly the reference's independent per-couple
+Poisson(pop_size/eligible) draws (`Simulation.cpp:2329-2337`), by the
+standard conditioning identity. The engine keeps compiled shapes stable
+under the resulting size jitter by padding genome planes with headroom and
+reusing the parents' plane rows (see `Simulation._reproduce`).
+`exact_n=True` (the dense backend's fixed-shape pipeline) conditions on
+N = pop_size instead — the jitter-free law documented in DESIGN.md.
 """
 
 from __future__ import annotations
@@ -92,6 +98,7 @@ def assort_mate(
     avoid_inbreeding: bool,
     offspring_dist: str,
     pop_size: int,
+    exact_n: bool = False,
 ) -> MatingPlan:
     n = len(sex)
     marriageable = rng.random(n) < selection_prob
@@ -150,8 +157,13 @@ def assort_mate(
         if remainder:
             extra = rng.permutation(eligible)[:remainder]
             child_couple = np.concatenate([child_couple, extra])
-    else:  # "p": Poisson household sizes conditioned on total = multinomial
-        child_couple = eligible[rng.integers(0, len(eligible), size=pop_size)]
+    else:
+        # "p": independent Poisson(pop_size/eligible) per couple == draw
+        # the realized total N ~ Poisson(pop_size), then assign couples
+        # multinomially (`Simulation.cpp:2329-2337`). exact_n conditions
+        # on N = pop_size (fixed-shape engines).
+        realized = pop_size if exact_n else max(1, int(rng.poisson(pop_size)))
+        child_couple = eligible[rng.integers(0, len(eligible), size=realized)]
     return MatingPlan(
         father_pos=father,
         mother_pos=mother,

@@ -82,6 +82,9 @@ class DenseSimulation(Simulation):
         super().__init__(cfg, verbose=verbose, mesh=None)
         if self.n_pop != 1:
             raise SimulationError("--backend dense supports one population")
+        # fixed-shape genome pipeline: condition the Poisson offspring law
+        # on exactly pop_size children (divergence documented in DESIGN.md)
+        self.exact_n = True
 
     # ------------------------------------------------------------ panel load
     def _load_panel(self, p: PopRuntime) -> None:

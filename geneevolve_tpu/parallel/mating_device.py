@@ -18,9 +18,14 @@ couples, inbred) lives in masks and traced scalars; array shapes are (n,) or
 (pop_size,) throughout, so one compilation serves every generation of a
 constant-size schedule.
 
-Only the Poisson/multinomial offspring law ("p", the reference's default and
-what every bundled Example uses) is implemented; the fixed law ("f") needs a
-data-dependent repeat and stays on the host path.
+Both offspring laws are implemented: "p" (multinomial over eligible
+couples; the engine draws the realized Poisson total and slices) and "f"
+(`Simulation.cpp:2340-2355`: floor(pop_size/eligible) children per couple
+plus a randomly-permuted remainder, realized as traced integer arithmetic
+over packed eligible ranks). The MM double-spouse option
+(`Simulation.cpp:2199-2213`) doubles the slot space: slot n+i is
+individual i's optional second marriage, active with probability MM after
+the selection gate.
 """
 
 from __future__ import annotations
@@ -63,13 +68,36 @@ def assort_mate_device(
     mat_cor: float,
     avoid_inbreeding: bool,
     pop_size: int,
+    mm_percent: float = 0.0,
+    offspring_dist: str = "p",
+    n_children: int | None = None,
 ) -> DevicePlan:
-    """Jittable assortative-mating plan. pop_size is static (the schedule's
-    per-generation size), everything else is traced."""
+    """Jittable assortative-mating plan. pop_size (the schedule's nominal
+    size) and n_children (emitted child slots; the engine slices the
+    realized Poisson total off the front) are static, everything else is
+    traced. father_pos/mother_pos hold ORIGINAL individual positions even
+    under MM duplication."""
     n = mating_value.shape[0]
-    k_gate, k_trim_m, k_trim_f, k_mvn, k_child = jax.random.split(key, 5)
+    if n_children is None:
+        n_children = pop_size
+    k_gate, k_trim_m, k_trim_f, k_mvn, k_child, k_mm, k_extra = (
+        jax.random.split(key, 7)
+    )
 
     gate = jax.random.uniform(k_gate, (n,)) < selection_prob
+    if mm_percent > 0:
+        # double-spouse (`Simulation.cpp:2199-2213`): slot n+i is person
+        # i's second marriage, active with prob MM after the gate
+        dup = jax.random.uniform(k_mm, (n,)) < mm_percent
+        pos = jnp.concatenate(
+            [jnp.arange(n), jnp.arange(n)]
+        ).astype(jnp.int32)
+        gate = jnp.concatenate([gate, gate & dup])
+        sex = jnp.concatenate([sex, sex])
+        mating_value = jnp.concatenate([mating_value, mating_value])
+    else:
+        pos = jnp.arange(n, dtype=jnp.int32)
+    N = pos.shape[0]
     is_m = gate & (sex == 1)
     is_f = gate & (sex == 2)
     cnt_m = jnp.sum(is_m)
@@ -78,8 +106,8 @@ def assort_mate_device(
 
     # random trim of the larger sex (`Simulation.cpp:2233-2246`): rank a
     # uniform priority within each sex, keep the first nc
-    pri_m = jnp.where(is_m, jax.random.uniform(k_trim_m, (n,)), BIG)
-    pri_f = jnp.where(is_f, jax.random.uniform(k_trim_f, (n,)), BIG)
+    pri_m = jnp.where(is_m, jax.random.uniform(k_trim_m, (N,)), BIG)
+    pri_f = jnp.where(is_f, jax.random.uniform(k_trim_f, (N,)), BIG)
     keep_m = is_m & (_rank(pri_m) < nc)
     keep_f = is_f & (_rank(pri_f) < nc)
 
@@ -88,15 +116,15 @@ def assort_mate_device(
     fsorted = _sorted_members(keep_f, mating_value)
 
     # MVN(0, [[1,r],[r,1]]) template, ranks matched within the first nc slots
-    z = jax.random.normal(k_mvn, (2, n))
+    z = jax.random.normal(k_mvn, (2, N))
     t1 = z[0]
     t2 = mat_cor * z[0] + jnp.sqrt(1.0 - mat_cor * mat_cor) * z[1]
-    slot = jnp.arange(n)
+    slot = jnp.arange(N)
     in_nc = slot < nc
     r1 = _rank(jnp.where(in_nc, t1, BIG))
     r2 = _rank(jnp.where(in_nc, t2, BIG))
-    father = jnp.where(in_nc, msorted[r1], -1)
-    mother = jnp.where(in_nc, fsorted[r2], -1)
+    father = jnp.where(in_nc, pos[msorted[r1]], -1)
+    mother = jnp.where(in_nc, pos[fsorted[r2]], -1)
 
     if avoid_inbreeding:
         # sibs share a father; cousins share any grandparent
@@ -112,14 +140,33 @@ def assort_mate_device(
                 inbred |= pedigree[a][fa] == pedigree[b][mo]
         inbred &= in_nc
     else:
-        inbred = jnp.zeros(n, dtype=bool)
+        inbred = jnp.zeros(N, dtype=bool)
 
     eligible = in_nc & ~inbred
-    # multinomial offspring assignment over eligible couples
-    logits = jnp.where(eligible, 0.0, -jnp.inf)
-    child_couple = jax.random.categorical(
-        k_child, logits, shape=(pop_size,)
-    ).astype(jnp.int32)
+    if offspring_dist in ("f", "F"):
+        # fixed law (`Simulation.cpp:2340-2355`): floor(pop_size/eligible)
+        # per couple + a randomly-permuted remainder of one-extras
+        ne = jnp.maximum(jnp.sum(eligible.astype(jnp.int32)), 1)
+        nf = pop_size // ne
+        # eligible couple slots packed to the front in stored order
+        elig_pos = jnp.argsort(~eligible, stable=True).astype(jnp.int32)
+        # a uniform random order of the eligible slots for the remainder
+        extra_pri = jnp.where(
+            eligible, jax.random.uniform(k_extra, (N,)), BIG
+        )
+        extra_sorted = jnp.argsort(extra_pri, stable=True).astype(jnp.int32)
+        k = jnp.arange(n_children)
+        base = jnp.minimum(k // jnp.maximum(nf, 1), N - 1)
+        rem = jnp.clip(k - nf * ne, 0, N - 1)
+        child_couple = jnp.where(
+            k < nf * ne, elig_pos[base], extra_sorted[rem]
+        ).astype(jnp.int32)
+    else:
+        # "p": multinomial offspring assignment over eligible couples
+        logits = jnp.where(eligible, 0.0, -jnp.inf)
+        child_couple = jax.random.categorical(
+            k_child, logits, shape=(n_children,)
+        ).astype(jnp.int32)
     return DevicePlan(
         father_pos=father.astype(jnp.int32),
         mother_pos=mother.astype(jnp.int32),

@@ -66,13 +66,18 @@ def test_trajectories_distributionally_close(both_runs):
 def test_hap_output_schema_and_frequencies(both_runs):
     seg, dseg = both_runs["segment"]
     den, dden = both_runs["dense"]
-    n = seg.pops[0].state.n
+    # the segment engine's realized size ~ Poisson(pop_size) (reference
+    # law); the dense backend's fixed-shape pipeline conditions on exactly
+    # pop_size (exact_n=True, DESIGN.md)
+    n_seg = seg.pops[0].state.n
+    n_den = den.pops[0].state.n
     for chrom in (1, 2):
         from geneevolve_tpu.io import hap as hap_io
 
         a = hap_io.read_hap(dseg / f"out.pop1.gen4.chr{chrom}.hap")
         b = hap_io.read_hap(dden / f"out.pop1.gen4.chr{chrom}.hap")
-        assert a.shape == b.shape == (2 * n, 200)
+        assert a.shape == (2 * n_seg, 200)
+        assert b.shape == (2 * n_den, 200)
         # drift keeps mean allele frequencies in the same neighborhood
         assert abs(a.mean() - b.mean()) < 0.05
 

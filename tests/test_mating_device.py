@@ -155,3 +155,96 @@ def test_engine_device_mating_end_to_end(mini_scenario, tmp_path):
     for line in summary[1:]:
         vals = dict(zip(hdr, line.split()))
         assert abs(float(vals["ph1_var_E"]) - 1.0) < 1e-6
+
+
+def test_fixed_offspring_law_device():
+    """'f' law on device (`Simulation.cpp:2340-2355`): every eligible
+    couple gets floor(pop_size/eligible) children; a random subset gets
+    one extra; total exactly pop_size."""
+    rng = np.random.default_rng(3)
+    n = 800
+    mv, sex, ped = _pop(n, rng)
+    svf = np.ones(n, dtype=np.float32)
+    pop_size = 1311  # not a multiple of the couple count
+    fn = jax.jit(
+        md.assort_mate_device, static_argnames=("mat_cor", "avoid_inbreeding",
+                                                "pop_size", "mm_percent",
+                                                "offspring_dist", "n_children")
+    )
+    plan = fn(
+        jax.random.key(5), jnp.asarray(mv), jnp.asarray(svf),
+        jnp.asarray(sex), {k: jnp.asarray(v) for k, v in ped.items()},
+        mat_cor=0.0, avoid_inbreeding=False, pop_size=pop_size,
+        offspring_dist="f",
+    )
+    nc = int(plan.n_couples)
+    child = np.asarray(plan.child_couple)
+    assert len(child) == pop_size
+    sizes = np.bincount(child, minlength=nc)[:nc]
+    nf = pop_size // nc
+    assert set(np.unique(sizes)) <= {nf, nf + 1}
+    assert sizes.sum() == pop_size
+    assert (sizes == nf + 1).sum() == pop_size - nf * nc
+
+
+def test_mm_double_spouse_device():
+    """MM (`Simulation.cpp:2199-2213`): with MM=0.5 some individuals marry
+    twice (appear in two couples); with MM=0 nobody does; the couple count
+    grows accordingly."""
+    rng = np.random.default_rng(4)
+    n = 2000
+    mv, sex, ped = _pop(n, rng)
+    svf = np.ones(n, dtype=np.float32)
+    fn = jax.jit(
+        md.assort_mate_device, static_argnames=("mat_cor", "avoid_inbreeding",
+                                                "pop_size", "mm_percent",
+                                                "offspring_dist", "n_children")
+    )
+    res = {}
+    for mm in (0.0, 0.5):
+        plan = fn(
+            jax.random.key(6), jnp.asarray(mv), jnp.asarray(svf),
+            jnp.asarray(sex), {k: jnp.asarray(v) for k, v in ped.items()},
+            mat_cor=0.0, avoid_inbreeding=False, pop_size=n, mm_percent=mm,
+        )
+        nc = int(plan.n_couples)
+        fa = np.asarray(plan.father_pos)[:nc]
+        mo = np.asarray(plan.mother_pos)[:nc]
+        assert np.all(fa >= 0) and np.all(fa < n)  # original positions
+        assert set(np.unique(np.asarray(sex)[fa])) == {1}
+        assert set(np.unique(np.asarray(sex)[mo])) == {2}
+        res[mm] = (nc, len(np.unique(fa)), len(np.unique(mo)))
+    nc0, uf0, um0 = res[0.0]
+    nc5, uf5, um5 = res[0.5]
+    assert uf0 == nc0 and um0 == nc0  # no double marriages at MM=0
+    assert nc5 > nc0 * 1.3  # ~1.5x couples at MM=0.5
+    assert uf5 < nc5 and um5 < nc5  # some marry twice
+
+
+def test_engine_device_mating_f_and_mm(mini_scenario, tmp_path):
+    """The engine no longer gates --device_mating off for 'f' schedules or
+    MM > 0: an end-to-end run completes and produces the exact 'f' sizes."""
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo/tools")
+    from mkscenario import make_scenario
+
+    from geneevolve_tpu.config import parse_args
+    from geneevolve_tpu.core.engine import Simulation
+
+    flags = make_scenario(
+        str(tmp_path / "sc"), n0=80, pop_size=90, gens=3, nchr=2, ncv=6,
+        offspring_dist="f",
+    )
+    argv = []
+    for k, v in flags.items():
+        argv += [f"--{k}", v]
+    argv += ["--seed", "21", "--prefix", str(tmp_path / "o"),
+             "--device_mating", "--MM", "0.3"]
+    sim = Simulation(parse_args(argv), verbose=False)
+    sim.run()
+    for g in (1, 2, 3):
+        rows = len(
+            (tmp_path / f"o.info.pop1.gen{g}.txt").read_text().splitlines()
+        ) - 1
+        assert rows == 90  # 'f' law is exact

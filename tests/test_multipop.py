@@ -90,10 +90,11 @@ def test_two_pop_migration_run(duo_scenario, tmp_path):
     int1 = (tmp_path / "out.pop1.gen3.chr1.int").read_text().splitlines()[1:]
     roots = {row.split()[-1] for row in int1}
     assert "2" in roots, "no pop-2 ancestry found in pop 1 after migration"
-    # population sizes: counts preserved globally (50 + 50 each gen)
+    # population sizes: migration preserves counts globally; each pop's
+    # realized size ~ Poisson(50) (`Simulation.cpp:2329-2337`)
     n1 = len((tmp_path / "out.info.pop1.gen3.txt").read_text().splitlines()) - 1
     n2 = len((tmp_path / "out.info.pop2.gen3.txt").read_text().splitlines()) - 1
-    assert n1 + n2 == 100
+    assert 55 <= n1 + n2 <= 145, (n1, n2)
 
 
 def test_gamma_offsets_separate_populations(duo_scenario, tmp_path):

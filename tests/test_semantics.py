@@ -119,3 +119,32 @@ def test_gamma_offset_inflates_combined_variance():
     combined = np.concatenate([p + o for p, o in zip(pops, offs)])
     base = np.concatenate(pops)
     assert abs(var(combined) / var(base) - (1 + gamma)) < 1e-3
+
+
+def test_poisson_realized_generation_size():
+    """The 'p' offspring law draws the realized generation size
+    N ~ Poisson(pop_size), equal to the reference's independent per-couple
+    Poisson(pop_size/eligible) draws summed (`Simulation.cpp:2329-2337`) —
+    mean pop_size, variance pop_size (the old conditioned law had var 0)."""
+    rng = np.random.default_rng(7)
+    n = 400
+    sex = np.tile([1, 2], n // 2).astype(np.int8)
+    pop_size = 500
+    sizes = []
+    for _ in range(200):
+        plan = mating.assort_mate(
+            rng, rng.normal(size=n), np.ones(n), sex, _ped(n),
+            mat_cor=0.0, mm_percent=0.0, avoid_inbreeding=False,
+            offspring_dist="p", pop_size=pop_size,
+        )
+        sizes.append(len(plan.child_couple))
+    sizes = np.array(sizes)
+    assert abs(sizes.mean() - pop_size) < 3 * np.sqrt(pop_size / 200)
+    assert 0.6 * pop_size < sizes.var(ddof=1) < 1.5 * pop_size
+    # exact_n=True conditions on the nominal size (fixed-shape engines)
+    plan = mating.assort_mate(
+        rng, rng.normal(size=n), np.ones(n), sex, _ped(n),
+        mat_cor=0.0, mm_percent=0.0, avoid_inbreeding=False,
+        offspring_dist="p", pop_size=pop_size, exact_n=True,
+    )
+    assert len(plan.child_couple) == pop_size
