@@ -381,19 +381,8 @@ def validate(cfg: ScenarioConfig) -> None:
     if cfg.mesh:
         parse_mesh_spec(cfg.mesh)  # syntax check (device count at runtime)
     if cfg.backend == "dense":
-        if cfg.n_pop > 1:
-            raise ConfigError(
-                "[--backend dense] supports a single population "
-                "(use the segment backend for multi-population runs)"
-            )
         if cfg.out_interval:
             raise ConfigError(
                 "[--backend dense] has no segment ledger; --out_interval "
                 "needs the segment backend"
-            )
-        if cfg.checkpoint_every or cfg.resume:
-            raise ConfigError(
-                "[--backend dense] checkpointing is available through the "
-                "dense scenario pipeline (geneevolve_tpu.dense.scenario); "
-                "use the segment backend for checkpointed CLI runs"
             )

@@ -35,6 +35,7 @@ def save(sim: "Simulation", gen: int, path: str) -> None:
         "format_version": FORMAT_VERSION,
         "gen": gen,
         "seed": sim.cfg.seed,
+        "backend": sim.cfg.backend,
         "n_pop": sim.n_pop,
         "n_pheno": sim.n_pheno,
         "s_cap": sim.s_cap,
@@ -44,12 +45,10 @@ def save(sim: "Simulation", gen: int, path: str) -> None:
         pre = f"pop{p.index}"
         st = p.state
         data[f"{pre}.n"] = st.n
-        # slice off any mesh padding rows: checkpoints are mesh-independent
-        data[f"{pre}.seg_st"] = np.asarray(st.seg_st[:, : st.n])
-        data[f"{pre}.seg_hap"] = np.asarray(st.seg_hap[:, : st.n])
-        data[f"{pre}.mut"] = np.asarray(st.mut[:, : st.n])
-        if st.cv is not None:
-            data[f"{pre}.cv"] = np.asarray(st.cv[:, : st.n])
+        # genome arrays via the backend hook (mesh/jitter padding rows
+        # sliced off: checkpoints are mesh- and capacity-independent)
+        for k, v in sim._ckpt_genome_arrays(st).items():
+            data[f"{pre}.{k}"] = v
         data[f"{pre}.sex"] = st.sex
         data[f"{pre}.ids"] = st.ids
         for k, v in st.ped.items():
@@ -78,10 +77,6 @@ def save(sim: "Simulation", gen: int, path: str) -> None:
 def load(sim: "Simulation", path: str) -> int:
     """Restore state written by `save`; returns the generation to resume
     *after* (i.e. the next step is gen+1)."""
-    import jax.numpy as jnp
-
-    from geneevolve_tpu.core.engine import PopState
-
     z = np.load(path, allow_pickle=False)
     if int(z["format_version"]) != FORMAT_VERSION:
         raise RuntimeError(
@@ -89,6 +84,11 @@ def load(sim: "Simulation", path: str) -> int:
         )
     if int(z["n_pop"]) != sim.n_pop or int(z["n_pheno"]) != sim.n_pheno:
         raise RuntimeError("checkpoint does not match the scenario config")
+    if "backend" in z.files and str(z["backend"]) != sim.cfg.backend:
+        raise RuntimeError(
+            f"checkpoint was written by the {z['backend']} backend; "
+            f"this run uses {sim.cfg.backend}"
+        )
     if int(z["seed"]) != sim.cfg.seed:
         raise RuntimeError(
             "checkpoint seed differs from --seed; resumed trajectories would "
@@ -98,29 +98,14 @@ def load(sim: "Simulation", path: str) -> int:
     sim.m_cap = int(z["m_cap"])
     for p in sim.pops:
         pre = f"pop{p.index}"
-        seg_st = sim._put(jnp.asarray(z[f"{pre}.seg_st"]))
-        seg_hap = sim._put(jnp.asarray(z[f"{pre}.seg_hap"]))
-        mut = sim._put(jnp.asarray(z[f"{pre}.mut"]))
         ped_keys = ("father", "mother", "ff", "fm", "mf", "mm")
         comp_keys = [
             k.split(".", 2)[2]
             for k in z.files
             if k.startswith(f"{pre}.comp.")
         ]
-        cv = None
-        if sim.resident_cv:
-            if f"{pre}.cv" in z.files:
-                cv = sim._put(jnp.asarray(z[f"{pre}.cv"]))
-            else:  # older checkpoint: rebuild from the ledger
-                cv = sim._put(
-                    sim._gather_resident_cv(seg_st, seg_hap, mut)
-                )
-        p.state = PopState(
+        host = dict(
             n=int(z[f"{pre}.n"]),
-            seg_st=seg_st,
-            seg_hap=seg_hap,
-            mut=mut,
-            cv=cv,
             sex=z[f"{pre}.sex"],
             ids=z[f"{pre}.ids"],
             ped={k: z[f"{pre}.ped.{k}"] for k in ped_keys},
@@ -129,6 +114,7 @@ def load(sim: "Simulation", path: str) -> int:
             sv=z[f"{pre}.sv"],
             svf=z[f"{pre}.svf"],
         )
+        p.state = sim._ckpt_make_state(z, pre, host)
         p.prev_phen = z[f"{pre}.prev_phen"]
         p.prev_F = z[f"{pre}.prev_F"]
         p.var_a_gen0 = z[f"{pre}.var_a_gen0"]

@@ -1497,9 +1497,52 @@ class Simulation:
         seg_st = self._put(jnp.concatenate(st_parts, axis=1))
         seg_hap = self._put(jnp.concatenate(hap_parts, axis=1))
         mut = self._put(jnp.concatenate(mut_parts, axis=1))
+        return PopState(
+            seg_st=seg_st,
+            seg_hap=seg_hap,
+            mut=mut,
+            **self._gather_host_fields(parts),
+        )
+
+    # ------------------------------------------------------------ checkpoint
+    def _ckpt_genome_arrays(self, st: PopState) -> dict:
+        """Backend hook: genome arrays to checkpoint (padding rows sliced
+        off — checkpoints are mesh- and jitter-capacity-independent)."""
+        d = {
+            "seg_st": np.asarray(st.seg_st[:, : st.n]),
+            "seg_hap": np.asarray(st.seg_hap[:, : st.n]),
+            "mut": np.asarray(st.mut[:, : st.n]),
+        }
+        if st.cv is not None:
+            d["cv"] = np.asarray(st.cv[:, : st.n])
+        return d
+
+    def _ckpt_make_state(self, z, pre: str, host: dict) -> PopState:
+        """Backend hook: rebuild a population state from checkpoint arrays
+        + shared host fields."""
+        seg_st = self._put(jnp.asarray(z[f"{pre}.seg_st"]))
+        seg_hap = self._put(jnp.asarray(z[f"{pre}.seg_hap"]))
+        mut = self._put(jnp.asarray(z[f"{pre}.mut"]))
+        cv = None
+        if self.resident_cv:
+            if f"{pre}.cv" in z.files:
+                cv = self._put(jnp.asarray(z[f"{pre}.cv"]))
+            else:  # older checkpoint: rebuild from the ledger
+                cv = self._put(
+                    self._gather_resident_cv(seg_st, seg_hap, mut)
+                )
+        return PopState(
+            seg_st=seg_st, seg_hap=seg_hap, mut=mut, cv=cv, **host
+        )
+
+    def _gather_host_fields(self, parts) -> dict:
+        """Concatenated host-side fields of selected rows across states —
+        shared by every genome backend's migration gather."""
 
         def cat(get):
-            return np.concatenate([get(src.state)[..., idx] for src, idx in parts], axis=-1)
+            return np.concatenate(
+                [get(src.state)[..., idx] for src, idx in parts], axis=-1
+            )
 
         ped = {
             k: np.concatenate([src.state.ped[k][idx] for src, idx in parts])
@@ -1508,11 +1551,8 @@ class Simulation:
         comp = {
             k: cat(lambda s, k=k: s.comp[k]) for k in parts[0][0].state.comp
         }
-        return PopState(
+        return dict(
             n=sum(len(idx) for _, idx in parts),
-            seg_st=seg_st,
-            seg_hap=seg_hap,
-            mut=mut,
             sex=np.concatenate([src.state.sex[idx] for src, idx in parts]),
             ids=np.concatenate([src.state.ids[idx] for src, idx in parts]),
             ped=ped,

@@ -12,7 +12,12 @@ flagship-throughput path applied to real scenarios: genotype output needs
 no painting (the genome IS the genotypes), and per-generation cost is the
 benchmarked ind*loci*gens/s rate.
 
-Scope (validated in config.py): single population; no `.int` output (no
+Multi-population scenarios are supported: every population keeps its own
+packed panel and map CDFs (`_DensePanel`), and migration is a plain row
+move between planes (`_gather_state`) — materialized genomes need no
+founder-reference remapping. Panels must share identical loci per
+chromosome (validated at load), exactly the alignment the reference's
+painting assumes. Scope (validated in config.py): no `.int` output (no
 ledger). Per-CV crossover placement resolves at panel-column granularity
 (crossover positions are sampled in map space and mapped to columns, so a
 crossover falling between two panel columns that also straddle a CV's
@@ -72,6 +77,20 @@ class DensePopState:
     svf: np.ndarray
 
 
+@dataclass
+class _DensePanel:
+    """One population's packed founder panel + per-column map tables."""
+
+    legends: List
+    m_real: List[int]
+    xo_cdf: jax.Array  # (m,) per-column crossover CDF
+    mut_lambda: float
+    mut_cdf: Optional[jax.Array]
+    founder_hap: jax.Array  # (n0, 2, mw) uint32
+    cv_cols: List[jnp.ndarray]  # per phenotype
+    dense_cfg: PackedConfig
+
+
 class DenseSimulation(Simulation):
     def __init__(self, cfg, verbose: bool = True, mesh=None):
         if mesh is not None:
@@ -80,30 +99,56 @@ class DenseSimulation(Simulation):
                 "parallel.make_deme_step / make_sharded_step for meshes"
             )
         super().__init__(cfg, verbose=verbose, mesh=None)
-        if self.n_pop != 1:
-            raise SimulationError("--backend dense supports one population")
         # fixed-shape genome pipeline: condition the Poisson offspring law
         # on exactly pop_size children (divergence documented in DESIGN.md)
         self.exact_n = True
 
     # ------------------------------------------------------------ panel load
-    def _load_panel(self, p: PopRuntime) -> None:
-        """Read the FULL founder panel (all chromosomes), pack it, and build
-        the per-column crossover/mutation CDFs and CV column positions."""
-        panels, legends, m_real = [], [], []
-        for ic, c in enumerate(self.chrs):
-            if p.vcf_addresses:
-                v = vcf_io.read_vcf(p.vcf_addresses[ic][1])
-                legends.append(v)
-                panels.append(v.hap)  # (2n0, m_chr)
-            else:
-                _, hap_path, legend_path, _ = p.hap_addresses[ic]
-                legends.append(hap_io.read_legend(legend_path))
-                panels.append(hap_io.read_hap(hap_path))
-            m_real.append(panels[-1].shape[1])
-
+    def _load_all_panels(self) -> None:
+        """Read every population's founder panel once, fix a GLOBAL padded
+        chromosome length (so packed planes are row-compatible across
+        populations — migration is then a plain row move), and build each
+        population's per-column CDFs/CV columns via `_load_panel`."""
+        if getattr(self, "_dp", None):
+            return
+        self._dp = {}
+        raw = {}
+        for p in self.pops:
+            panels, legends, m_real = [], [], []
+            for ic, c in enumerate(self.chrs):
+                if p.vcf_addresses:
+                    v = vcf_io.read_vcf(p.vcf_addresses[ic][1])
+                    legends.append(v)
+                    panels.append(v.hap)  # (2n0, m_chr)
+                else:
+                    _, hap_path, legend_path, _ = p.hap_addresses[ic]
+                    legends.append(hap_io.read_legend(legend_path))
+                    panels.append(hap_io.read_hap(hap_path))
+                m_real.append(panels[-1].shape[1])
+            raw[p.index] = (panels, legends, m_real)
+        # cross-population compatibility: identical loci per chromosome
+        # (the reference paints every population against per-chromosome
+        # legends of equal length, `Simulation.cpp:1105-1230`)
+        ref_legs = raw[self.pops[0].index][1]
+        for p in self.pops[1:]:
+            for ic, leg in enumerate(raw[p.index][1]):
+                if not np.array_equal(leg.pos, ref_legs[ic].pos):
+                    raise SimulationError(
+                        "--backend dense with multiple populations needs "
+                        f"identical panel loci per chromosome; chr "
+                        f"{self.chrs[ic]} differs between populations 1 "
+                        f"and {p.index + 1}"
+                    )
         unit = 4096 if jax.default_backend() == "tpu" else 32
-        chr_len = ((max(m_real) + unit - 1) // unit) * unit
+        m_max = max(max(mr) for _, _, mr in raw.values())
+        self._chr_len = ((m_max + unit - 1) // unit) * unit
+        for p in self.pops:
+            self._dp[p.index] = self._load_panel(p, *raw[p.index])
+
+    def _load_panel(self, p: PopRuntime, panels, legends, m_real):
+        """Pack one population's panel and build its per-column
+        crossover/mutation CDFs and CV column positions."""
+        chr_len = self._chr_len
         xo_cdf, mut_cdf, total, mtotal = [], [], 0.0, 0.0
         planes_a, planes_b = [], []
         for ic, (panel, leg) in enumerate(zip(panels, legends)):
@@ -131,30 +176,12 @@ class DenseSimulation(Simulation):
                 mut_cdf.append(np.full(chr_len, mtotal))
             planes_a.append(_pad_cols(panel[0::2], chr_len))
             planes_b.append(_pad_cols(panel[1::2], chr_len))
-        self._legends = legends
-        self._m_real = m_real
-        self._chr_len = chr_len
-        self._m = chr_len * len(self.chrs)
-        self._xo_cdf = jnp.asarray(np.concatenate(xo_cdf), dtype=jnp.float32)
-        self._mut_lambda = float(mtotal)
-        self._mut_cdf = (
-            jnp.asarray(np.concatenate(mut_cdf), dtype=jnp.float32)
-            if mtotal > 0
-            else None
-        )
-        hap = jnp.stack(
-            [
-                pack_bits(jnp.asarray(np.concatenate(planes_a, axis=1))),
-                pack_bits(jnp.asarray(np.concatenate(planes_b, axis=1))),
-            ],
-            axis=1,
-        )
-        self._founder_hap = hap
-
-        # CV columns: the column a CV's bp maps to (exact when the CV is a
-        # panel site; insertion point otherwise)
-        self._cv_cols: List[jnp.ndarray] = []
+        m_tot = chr_len * len(self.chrs)
+        mut_lambda = float(mtotal)
+        cv_cols: List[jnp.ndarray] = []
         for j in range(self.n_pheno):
+            # CV columns: the column a CV's bp maps to (exact when the CV
+            # is a panel site; insertion point otherwise)
             cols = []
             for ic, leg in enumerate(legends):
                 bp = p.phenos[j].cv_bp[ic]
@@ -162,29 +189,47 @@ class DenseSimulation(Simulation):
                     np.searchsorted(leg.pos, bp), len(leg.pos) - 1
                 )
                 cols.append(idx + ic * chr_len)
-            self._cv_cols.append(
+            cv_cols.append(
                 jnp.asarray(np.concatenate(cols), dtype=jnp.int32)
             )
-
         L = max(m.xo_lambda for m in p.maps)
-        self._dense_cfg = PackedConfig(
-            n=0,  # per-call
-            m=self._m,
-            n_chr=len(self.chrs),
-            xo_cap=int(8 + np.ceil(L + 6 * np.sqrt(max(L, 1.0)))),
-            mut_rate=self._mut_lambda,
-            mut_cap=int(
-                4 + np.ceil(self._mut_lambda
-                            + 6 * np.sqrt(max(self._mut_lambda, 0.25)))
+        return _DensePanel(
+            legends=legends,
+            m_real=m_real,
+            xo_cdf=jnp.asarray(np.concatenate(xo_cdf), dtype=jnp.float32),
+            mut_lambda=mut_lambda,
+            mut_cdf=(
+                jnp.asarray(np.concatenate(mut_cdf), dtype=jnp.float32)
+                if mtotal > 0
+                else None
             ),
-            ncv=0,
-            use_pallas=jax.default_backend() == "tpu"
-            and chr_len % (32 * 128) == 0,
+            founder_hap=jnp.stack(
+                [
+                    pack_bits(jnp.asarray(np.concatenate(planes_a, axis=1))),
+                    pack_bits(jnp.asarray(np.concatenate(planes_b, axis=1))),
+                ],
+                axis=1,
+            ),
+            cv_cols=cv_cols,
+            dense_cfg=PackedConfig(
+                n=0,  # per-call
+                m=m_tot,
+                n_chr=len(self.chrs),
+                xo_cap=int(8 + np.ceil(L + 6 * np.sqrt(max(L, 1.0)))),
+                mut_rate=mut_lambda,
+                mut_cap=int(
+                    4 + np.ceil(mut_lambda
+                                + 6 * np.sqrt(max(mut_lambda, 0.25)))
+                ),
+                ncv=0,
+                use_pallas=jax.default_backend() == "tpu"
+                and chr_len % (32 * 128) == 0,
+            ),
         )
 
     # ------------------------------------------------------------------ gen0
     def _init_gen0_state(self, p: PopRuntime) -> DensePopState:
-        self._load_panel(p)
+        self._load_all_panels()
         n = p.n_founders
         cv = [
             jnp.asarray(
@@ -205,7 +250,7 @@ class DenseSimulation(Simulation):
             for j in range(self.n_pheno)
         ]  # (n, 2, ncv_j)
         return DensePopState(
-            hap=self._founder_hap,
+            hap=self._dp[p.index].founder_hap,
             cv=cv,
             **self._gen0_host_fields(p, n),
         )
@@ -213,24 +258,25 @@ class DenseSimulation(Simulation):
     # ------------------------------------------------------------- reproduce
     def _reproduce(self, p: PopRuntime, gen: int, plan: mating.MatingPlan):
         st = p.state
+        dp = self._dp[p.index]
         n_child = len(plan.child_father)
-        cfg = PackedConfig(**{**self._dense_cfg.__dict__, "n": n_child})
+        cfg = PackedConfig(**{**dp.dense_cfg.__dict__, "n": n_child})
         fathers = jnp.asarray(plan.child_father, dtype=jnp.int32)
         mothers = jnp.asarray(plan.child_mother, dtype=jnp.int32)
         key = stage_key(self.key, gen, Stage.CROSSOVER, p.index)
         k_pat, k_mat, k_mu1, k_mu2 = jax.random.split(key, 4)
         xo_p, st_p, _ = _sample_gamete_plan(
-            k_pat, cfg.as_dense(), n_child, self._xo_cdf
+            k_pat, cfg.as_dense(), n_child, dp.xo_cdf
         )
         xo_m, st_m, _ = _sample_gamete_plan(
-            k_mat, cfg.as_dense(), n_child, self._xo_cdf
+            k_mat, cfg.as_dense(), n_child, dp.xo_cdf
         )
         mu = None
-        if self._mut_cdf is not None:
+        if dp.mut_cdf is not None:
             mu = jnp.stack(
                 [
-                    _mutation_cols(k_mu1, n_child, cfg, self._mut_cdf),
-                    _mutation_cols(k_mu2, n_child, cfg, self._mut_cdf),
+                    _mutation_cols(k_mu1, n_child, cfg, dp.mut_cdf),
+                    _mutation_cols(k_mu2, n_child, cfg, dp.mut_cdf),
                 ],
                 axis=1,
             )
@@ -242,10 +288,10 @@ class DenseSimulation(Simulation):
                 [
                     cv_child(st.cv[j], fathers, xo_p, st_p,
                              None if mu is None else mu[:, 0],
-                             self._cv_cols[j], self._chr_len),
+                             dp.cv_cols[j], self._chr_len),
                     cv_child(st.cv[j], mothers, xo_m, st_m,
                              None if mu is None else mu[:, 1],
-                             self._cv_cols[j], self._chr_len),
+                             dp.cv_cols[j], self._chr_len),
                 ],
                 axis=1,
             )
@@ -253,6 +299,35 @@ class DenseSimulation(Simulation):
         ]
         return DensePopState(
             hap=child, cv=cv, **self._child_host_fields(p, gen, plan)
+        )
+
+    # ------------------------------------------------------------- migration
+    def _gather_state(self, parts) -> DensePopState:
+        """Concatenate selected rows of several populations' dense states —
+        migration is a plain row move: genomes are materialized planes (no
+        founder references to remap), and the resident CV matrices travel
+        with their rows (`ras_do_migration` semantics,
+        `Simulation.cpp:877-989`; planes are cross-population compatible by
+        the identical-loci validation in `_load_all_panels`)."""
+        hap = jnp.concatenate(
+            [
+                src.state.hap[jnp.asarray(idx, dtype=jnp.int32)]
+                for src, idx in parts
+            ],
+            axis=0,
+        )
+        cv = [
+            jnp.concatenate(
+                [
+                    src.state.cv[j][jnp.asarray(idx, dtype=jnp.int32)]
+                    for src, idx in parts
+                ],
+                axis=0,
+            )
+            for j in range(self.n_pheno)
+        ]
+        return DensePopState(
+            hap=hap, cv=cv, **self._gather_host_fields(parts)
         )
 
     # ------------------------------------------------------------------- A/D
@@ -284,15 +359,37 @@ class DenseSimulation(Simulation):
             D[j] = np.asarray(D_j, dtype=np.float64)
         return A, D
 
+    # ------------------------------------------------------------ checkpoint
+    def _ckpt_genome_arrays(self, st: DensePopState) -> dict:
+        d = {"hap": np.asarray(st.hap[: st.n])}
+        for j in range(self.n_pheno):
+            d[f"dcv{j}"] = np.asarray(st.cv[j][: st.n])
+        return d
+
+    def _ckpt_make_state(self, z, pre: str, host: dict) -> DensePopState:
+        self._load_all_panels()  # resume skips gen0: panels load here
+        return DensePopState(
+            hap=jnp.asarray(z[f"{pre}.hap"]),
+            cv=[
+                jnp.asarray(z[f"{pre}.dcv{j}"])
+                for j in range(self.n_pheno)
+            ],
+            **host,
+        )
+
     # --------------------------------------------------------------- outputs
     def save_genotypes(self, gen: int) -> None:
+        for p in self.pops:
+            self._save_genotypes_pop(p, gen)
+
+    def _save_genotypes_pop(self, p: PopRuntime, gen: int) -> None:
         cfg = self.cfg
-        p = self.pops[0]
         st = p.state
+        dp = self._dp[p.index]
         for ic, chrom in enumerate(self.chrs):
-            base = f"{cfg.prefix}.pop1.gen{gen}.chr{chrom}"
-            leg = self._legends[ic]
-            mr = self._m_real[ic]
+            base = f"{cfg.prefix}.pop{p.index + 1}.gen{gen}.chr{chrom}"
+            leg = dp.legends[ic]
+            mr = dp.m_real[ic]
             lo_w = ic * self._chr_len // 32
             hi_w = (ic + 1) * self._chr_len // 32
             a = np.asarray(

@@ -95,10 +95,11 @@ def test_config_rejects_unsupported_dense_modes(mini_scenario, tmp_path):
             _argv(mini_scenario, tmp_path,
                   ["--backend", "dense", "--out_interval"])
         )
-    with pytest.raises(ConfigError, match="segment"):
-        parse_args(
-            _argv(mini_scenario, tmp_path,
-                  ["--backend", "dense", "--checkpoint_every", "2"])
-        )
+    # dense checkpointing and multi-population are now supported (r4)
+    cfg = parse_args(
+        _argv(mini_scenario, tmp_path,
+              ["--backend", "dense", "--checkpoint_every", "2"])
+    )
+    assert cfg.checkpoint_every == 2
     with pytest.raises(ConfigError, match="backend"):
         parse_args(_argv(mini_scenario, tmp_path, ["--backend", "woof"]))

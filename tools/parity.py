@@ -159,13 +159,16 @@ def print_checks(pop: int, checks: list) -> bool:
     return ok
 
 
+OURS_EXTRA: list = []  # extra flags appended to OUR runs only (e.g. --backend dense)
+
+
 def run_ours(argv: list, cwd: str) -> int:
     from geneevolve_tpu import cli
 
     here = os.getcwd()
     os.chdir(cwd)  # scenario files are referenced relatively
     try:
-        return cli.main(argv)
+        return cli.main(argv + OURS_EXTRA)
     finally:
         os.chdir(here)
 
@@ -539,7 +542,14 @@ def main() -> int:
     ap.add_argument("--only", default="1,2,3,4,5,6,7,8,9,10,vcf")
     ap.add_argument("--workdir", default="")
     ap.add_argument("--out", default="", help="write a JSON report here")
+    ap.add_argument(
+        "--ours-extra", default="",
+        help="space-separated extra flags for OUR runs only "
+        "(e.g. '--backend dense')",
+    )
     args = ap.parse_args()
+    if args.ours_extra:
+        OURS_EXTRA.extend(args.ours_extra.split())
 
     exdir = args.examples
     tmp = None
