@@ -487,10 +487,14 @@ def run_vcf_example(ref_bin: str, workdir: str, report: dict,
 
     # Schema checks on our VCF output vs the v1.5.0 source contract:
     # one file per pop/gen/chr, record count == panel biallelic count,
-    # samples == pop size at that gen named g<gen>_<id>
-    # (`Simulation.cpp:1729`), required meta lines (`:1716-1724`).
-    pop_size = 1000  # par.geninfo.txt rows
+    # samples == the generation's REALIZED size (~Poisson(pop_size), the
+    # reference offspring law `Simulation.cpp:2329-2337`) named g<gen>_<id>
+    # (`:1729`), required meta lines (`:1716-1724`).
+    pop_size = 1000  # par.geninfo.txt nominal rows
     for gen in (4, 5):
+        with open(f"{our_prefix}.info.pop1.gen{gen}.txt") as f:
+            realized = sum(1 for _ in f) - 1
+        assert abs(realized - pop_size) < 6 * pop_size ** 0.5, realized
         for chrom in ("1", "22"):
             op = f"{our_prefix}.pop1.gen{gen}.chr{chrom}.vcf"
             on = _vcf_schema(op)
@@ -498,8 +502,8 @@ def run_vcf_example(ref_bin: str, workdir: str, report: dict,
                 (f"vcf gen{gen} chr{chrom} records", nsnp[chrom],
                  on["records"], 0, bool(on["records"] == nsnp[chrom])))
             checks.append(
-                (f"vcf gen{gen} chr{chrom} samples", pop_size,
-                 on["samples"], 0, bool(on["samples"] == pop_size)))
+                (f"vcf gen{gen} chr{chrom} samples", realized,
+                 on["samples"], 0, bool(on["samples"] == realized)))
             checks.append(
                 (f"vcf gen{gen} chr{chrom} sample0", 0, 0, 0,
                  bool(on["sample0"] == f"g{gen}_1")))
