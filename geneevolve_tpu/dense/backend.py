@@ -93,15 +93,42 @@ class _DensePanel:
 
 class DenseSimulation(Simulation):
     def __init__(self, cfg, verbose: bool = True, mesh=None):
-        if mesh is not None:
-            raise SimulationError(
-                "--backend dense runs single-chip here; use "
-                "parallel.make_deme_step / make_sharded_step for meshes"
-            )
+        # the base engine's mesh plumbing pads/shards (nchr, n, ...) ledger
+        # arrays on axis 1; dense planes are (n, 2, mw) sharded on axis 0,
+        # so the mesh is held here and applied by _put_plane instead
         super().__init__(cfg, verbose=verbose, mesh=None)
+        self.mesh = None
+        if mesh is not None:
+            if "ind" not in mesh.axis_names:
+                raise SimulationError("mesh must have an 'ind' axis")
+            self.mesh = mesh
         # fixed-shape genome pipeline: condition the Poisson offspring law
         # on exactly pop_size children (divergence documented in DESIGN.md)
         self.exact_n = True
+
+    def _plane_spec(self, ndim: int):
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        spec = [None] * ndim
+        spec[0] = "ind"
+        if ndim >= 3 and "loci" in self.mesh.axis_names:
+            spec[-1] = "loci"  # packed word axis
+        return NamedSharding(self.mesh, PartitionSpec(*spec))
+
+    def _put_plane(self, x):
+        """Shard a dense per-individual array (n leading axis) over the
+        mesh: individuals on 'ind' (rows edge-padded to a mesh multiple —
+        masked from statistics, sliced from outputs), packed words on
+        'loci' when that axis exists."""
+        if self.mesh is None:
+            return x
+        m = self.mesh.shape["ind"]
+        n_pad = ((x.shape[0] + m - 1) // m) * m
+        if n_pad != x.shape[0]:
+            pad = [(0, 0)] * x.ndim
+            pad[0] = (0, n_pad - x.shape[0])
+            x = jnp.pad(x, pad, mode="edge")
+        return jax.device_put(x, self._plane_spec(x.ndim))
 
     # ------------------------------------------------------------ panel load
     def _load_all_panels(self) -> None:
@@ -250,8 +277,8 @@ class DenseSimulation(Simulation):
             for j in range(self.n_pheno)
         ]  # (n, 2, ncv_j)
         return DensePopState(
-            hap=self._dp[p.index].founder_hap,
-            cv=cv,
+            hap=self._put_plane(self._dp[p.index].founder_hap),
+            cv=[self._put_plane(c) for c in cv],
             **self._gen0_host_fields(p, n),
         )
 
@@ -260,23 +287,34 @@ class DenseSimulation(Simulation):
         st = p.state
         dp = self._dp[p.index]
         n_child = len(plan.child_father)
-        cfg = PackedConfig(**{**dp.dense_cfg.__dict__, "n": n_child})
-        fathers = jnp.asarray(plan.child_father, dtype=jnp.int32)
-        mothers = jnp.asarray(plan.child_mother, dtype=jnp.int32)
+        n_pad = n_child
+        if self.mesh is not None:
+            m = self.mesh.shape["ind"]
+            n_pad = ((n_child + m - 1) // m) * m
+        cfg = PackedConfig(**{**dp.dense_cfg.__dict__, "n": n_pad})
+        # pad children to a mesh multiple with copies of couple 0 (draws
+        # are prefix-stable in the leading axis; padding rows are masked
+        # from statistics and sliced from outputs)
+        fathers = self._put_plane(jnp.asarray(
+            np.pad(plan.child_father, (0, n_pad - n_child)), dtype=jnp.int32
+        ))
+        mothers = self._put_plane(jnp.asarray(
+            np.pad(plan.child_mother, (0, n_pad - n_child)), dtype=jnp.int32
+        ))
         key = stage_key(self.key, gen, Stage.CROSSOVER, p.index)
         k_pat, k_mat, k_mu1, k_mu2 = jax.random.split(key, 4)
         xo_p, st_p, _ = _sample_gamete_plan(
-            k_pat, cfg.as_dense(), n_child, dp.xo_cdf
+            k_pat, cfg.as_dense(), n_pad, dp.xo_cdf
         )
         xo_m, st_m, _ = _sample_gamete_plan(
-            k_mat, cfg.as_dense(), n_child, dp.xo_cdf
+            k_mat, cfg.as_dense(), n_pad, dp.xo_cdf
         )
         mu = None
         if dp.mut_cdf is not None:
             mu = jnp.stack(
                 [
-                    _mutation_cols(k_mu1, n_child, cfg, dp.mut_cdf),
-                    _mutation_cols(k_mu2, n_child, cfg, dp.mut_cdf),
+                    _mutation_cols(k_mu1, n_pad, cfg, dp.mut_cdf),
+                    _mutation_cols(k_mu2, n_pad, cfg, dp.mut_cdf),
                 ],
                 axis=1,
             )
@@ -327,7 +365,9 @@ class DenseSimulation(Simulation):
             for j in range(self.n_pheno)
         ]
         return DensePopState(
-            hap=hap, cv=cv, **self._gather_host_fields(parts)
+            hap=self._put_plane(hap),
+            cv=[self._put_plane(c) for c in cv],
+            **self._gather_host_fields(parts),
         )
 
     # ------------------------------------------------------------------- A/D
@@ -354,9 +394,10 @@ class DenseSimulation(Simulation):
                 d_t,
                 d_t,
                 jnp.asarray(p.phenos[j].vd != 0),
+                jnp.asarray(st.n, dtype=jnp.int32),  # mask mesh padding
             )
-            A[j] = np.asarray(A_j, dtype=np.float64)
-            D[j] = np.asarray(D_j, dtype=np.float64)
+            A[j] = np.asarray(A_j, dtype=np.float64)[: st.n]
+            D[j] = np.asarray(D_j, dtype=np.float64)[: st.n]
         return A, D
 
     # ------------------------------------------------------------ checkpoint
@@ -369,9 +410,9 @@ class DenseSimulation(Simulation):
     def _ckpt_make_state(self, z, pre: str, host: dict) -> DensePopState:
         self._load_all_panels()  # resume skips gen0: panels load here
         return DensePopState(
-            hap=jnp.asarray(z[f"{pre}.hap"]),
+            hap=self._put_plane(jnp.asarray(z[f"{pre}.hap"])),
             cv=[
-                jnp.asarray(z[f"{pre}.dcv{j}"])
+                self._put_plane(jnp.asarray(z[f"{pre}.dcv{j}"]))
                 for j in range(self.n_pheno)
             ],
             **host,
@@ -393,10 +434,10 @@ class DenseSimulation(Simulation):
             lo_w = ic * self._chr_len // 32
             hi_w = (ic + 1) * self._chr_len // 32
             a = np.asarray(
-                unpack_bits(st.hap[:, 0, lo_w:hi_w], self._chr_len)
+                unpack_bits(st.hap[: st.n, 0, lo_w:hi_w], self._chr_len)
             )[:, :mr]
             b = np.asarray(
-                unpack_bits(st.hap[:, 1, lo_w:hi_w], self._chr_len)
+                unpack_bits(st.hap[: st.n, 1, lo_w:hi_w], self._chr_len)
             )[:, :mr]
             pos = leg.pos
             if cfg.out_hap:
