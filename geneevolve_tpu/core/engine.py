@@ -142,7 +142,10 @@ def _capacity_probe(
 @partial(
     jax.jit,
     static_argnames=("s_cap", "m_cap", "merge_ibd", "has_mut"),
-    donate_argnames=("par_st", "par_hap", "par_mut", "cv"),
+    # no donation: this path only runs on population-RESIZE generations
+    # (child shapes differ from parent shapes, so aliasing is impossible
+    # and declaring donation would just emit unusable-buffer warnings);
+    # the constant-size path (_reproduce_group_inplace) donates for real
 )
 def _reproduce_all(
     par_st,  # (nchr, n, 2, S)
