@@ -184,3 +184,36 @@ def test_dense_backend_checkpoint_resume(duo_scenario, tmp_path):
             ck / f"out.info.pop{p}.gen3.txt",
             shallow=False,
         )
+
+
+def test_two_pop_migration_sharded_bit_identical(duo_scenario, tmp_path):
+    """Multi-population migration under a device mesh: the per-generation
+    cross-population row gathers (`_gather_state`) reshard device-side, and
+    results must stay byte-identical to the single-device run."""
+    import filecmp
+
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    outs = {}
+    for name, mesh in (
+        ("single", None),
+        ("mesh", Mesh(np.array(jax.devices()[:8]), ("ind",))),
+    ):
+        d = tmp_path / name
+        d.mkdir()
+        cfg = parse_args(_args(duo_scenario, d, ["--out_interval"]))
+        sim = Simulation(cfg, verbose=False, mesh=mesh)
+        sim.run()
+        outs[name] = d
+    for f in (
+        "out.pop1.summary", "out.pop2.summary",
+        "out.info.pop1.gen3.txt", "out.info.pop2.gen3.txt",
+        "out.pop1.gen3.chr1.int", "out.pop2.gen3.chr1.int",
+    ):
+        assert filecmp.cmp(
+            outs["single"] / f, outs["mesh"] / f, shallow=False
+        ), f
