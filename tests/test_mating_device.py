@@ -248,3 +248,32 @@ def test_engine_device_mating_f_and_mm(mini_scenario, tmp_path):
             (tmp_path / f"o.info.pop1.gen{g}.txt").read_text().splitlines()
         ) - 1
         assert rows == 90  # 'f' law is exact
+
+
+def test_engine_device_mating_poisson_sizes(mini_scenario, tmp_path):
+    """--device_mating under the 'p' law: realized generation sizes follow
+    the reference's Poisson(pop_size) law (drawn host-side, children
+    sliced off the device plan's static padding)."""
+    from geneevolve_tpu.config import parse_args
+    from geneevolve_tpu.core.engine import Simulation
+
+    cfg = parse_args([
+        "--file_gen_info", str(mini_scenario / "popinfo.txt"),
+        "--file_hap_name", str(mini_scenario / "hap_address.txt"),
+        "--file_recom_map", str(mini_scenario / "rmap.txt"),
+        "--file_cv_info", str(mini_scenario / "cv.info"),
+        "--file_cvs", str(mini_scenario / "cv_address.txt"),
+        "--seed", "31",
+        "--prefix", str(tmp_path / "o"),
+        "--device_mating",
+    ])
+    sim = Simulation(cfg, verbose=False)
+    sim.run()
+    sizes = [
+        len((tmp_path / f"o.info.pop1.gen{g}.txt").read_text().splitlines())
+        - 1
+        for g in range(1, sim.tot_gen + 1)
+    ]
+    # nominal 60: jitter present (not all equal) and within a sane band
+    assert all(25 <= s <= 100 for s in sizes), sizes
+    assert len(set(sizes)) > 1, sizes
