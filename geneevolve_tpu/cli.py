@@ -90,6 +90,8 @@ _HELP = """geneevolve-tpu — TPU-native forward-time whole-genome simulator
         --device_mating          : mate pairing on device (XLA collectives)
         --checkpoint_every <n> / --resume <prefix>.ckpt.npz
         --profile <dir>          : jax.profiler trace of the main loop
+        --stage_sync             : device fence after each stage so the
+          per-stage timing table is device-true (profiling only)
 """
 
 

@@ -69,6 +69,9 @@ class ScenarioConfig:
     checkpoint_every: int = 0  # write <prefix>.ckpt.npz every N generations
     resume: str = ""  # checkpoint file to restore and continue from
     device_mating: bool = False  # run mate pairing on device (XLA collectives)
+    stage_sync: bool = False  # fence the device after each stage so the
+    # StageTimer breakdown is device-true (adds sync barriers that break
+    # async overlap; for profiling only)
     mesh: str = ""  # device mesh: "auto" (all local devices on the ind
     # axis) or "ind=N[,loci=M]"; empty = single-device. The reference is a
     # single process (`Main.cpp:26-88`); this is the multi-chip scaling
@@ -191,6 +194,8 @@ def parse_args(argv: List[str]) -> ScenarioConfig:
             cfg.resume = take_value(a)
         elif a == "--device_mating":
             cfg.device_mating = True
+        elif a == "--stage_sync":
+            cfg.stage_sync = True
         elif a == "--backend":
             cfg.backend = take_value(a)
         elif a == "--mesh":

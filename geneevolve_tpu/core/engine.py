@@ -650,7 +650,9 @@ class Simulation:
                     with open(f_hap) as fh:
                         hap_ncol = len(fh.readline().split())
                     with open(f_indv) as fi:
-                        indv_nrow = sum(1 for ln in fi if ln.strip())
+                        # whitespace tokens, matching read_indv and the
+                        # reference's `ifile >> id` tokenization
+                        indv_nrow = len(fi.read().split())
                     if indv_nrow * 2 != hap_ncol:
                         raise SimulationError(
                             f"Number of individuals are not equal in files "
@@ -1168,7 +1170,15 @@ class Simulation:
                 np_seed(self.cfg.seed, gen, Stage.MATE, p.index)
             )
             n_emit = pop_size + 4 * int(np.sqrt(pop_size)) + 16
-            realized = min(max(1, int(rng_n.poisson(pop_size))), n_emit)
+            drawn = max(1, int(rng_n.poisson(pop_size)))
+            realized = min(drawn, n_emit)
+            if drawn > n_emit:
+                # ~3e-5/gen upper-tail truncation vs the host path's
+                # unclamped law — rare, but make it observable
+                self._log(
+                    f"      warning: realized generation size {drawn} "
+                    f"clamped to device-mating emit capacity {n_emit}"
+                )
         plan = md.assort_mate_device(
             key,
             jnp.asarray(st.mv, dtype=jnp.float32),
@@ -1230,8 +1240,15 @@ class Simulation:
             )
             with self.timer("reproduce"):
                 p.state = self._reproduce(p, gen, plan)
+                if self.cfg.stage_sync:
+                    telemetry.device_fence(
+                        p.state.seg_st, p.state.seg_hap, p.state.mut,
+                        p.state.cv,
+                    )
             with self.timer("compute_ad"):
                 A_raw, D_raw = self._compute_ad(p, gen)
+                if self.cfg.stage_sync:
+                    telemetry.device_fence(A_raw, D_raw)
             with self.timer("phenotypes"):
                 self._assemble_phenotypes(p, gen, A_raw, D_raw, plan)
         with self.timer("gamma_mv_sv"):
@@ -1241,6 +1258,10 @@ class Simulation:
         if self.n_pop > 1:
             with self.timer("migration"):
                 self._migrate(gen)
+                if self.cfg.stage_sync:
+                    telemetry.device_fence(
+                        *[(q.state.seg_st, q.state.mut) for q in self.pops]
+                    )
         with self.timer("info_files"):
             for p in self.pops:
                 p.prev_phen = p.state.comp["P"].copy()
@@ -1627,7 +1648,10 @@ class Simulation:
         anything that must observe the files (summary, genotype outputs,
         run end)."""
         st = p.state
+        done = [f for f in self._io_futures if f.done()]
         self._io_futures = [f for f in self._io_futures if not f.done()]
+        for f in done:
+            f.result()  # surface writer errors (disk full, bad path) promptly
         self._io_futures.append(
             self._io_pool.submit(self._save_info_sync, p, st, gen)
         )

@@ -106,12 +106,12 @@ class DenseSimulation(Simulation):
         # on exactly pop_size children (divergence documented in DESIGN.md)
         self.exact_n = True
 
-    def _plane_spec(self, ndim: int):
+    def _plane_spec(self, ndim: int, shard_loci: bool):
         from jax.sharding import NamedSharding, PartitionSpec
 
         spec = [None] * ndim
         spec[0] = "ind"
-        if ndim >= 3 and "loci" in self.mesh.axis_names:
+        if shard_loci and ndim >= 3 and "loci" in self.mesh.axis_names:
             spec[-1] = "loci"  # packed word axis
         return NamedSharding(self.mesh, PartitionSpec(*spec))
 
@@ -119,7 +119,10 @@ class DenseSimulation(Simulation):
         """Shard a dense per-individual array (n leading axis) over the
         mesh: individuals on 'ind' (rows edge-padded to a mesh multiple —
         masked from statistics, sliced from outputs), packed words on
-        'loci' when that axis exists."""
+        'loci' when the trailing axis is the packed uint32 word axis (only
+        that axis carries the mesh-divisibility guarantee; CV matrices
+        (n, 2, ncv) have arbitrary trailing size and stay replicated on
+        'loci')."""
         if self.mesh is None:
             return x
         m = self.mesh.shape["ind"]
@@ -128,7 +131,8 @@ class DenseSimulation(Simulation):
             pad = [(0, 0)] * x.ndim
             pad[0] = (0, n_pad - x.shape[0])
             x = jnp.pad(x, pad, mode="edge")
-        return jax.device_put(x, self._plane_spec(x.ndim))
+        shard_loci = x.dtype == jnp.uint32
+        return jax.device_put(x, self._plane_spec(x.ndim, shard_loci))
 
     # ------------------------------------------------------------ panel load
     def _load_all_panels(self) -> None:

@@ -47,6 +47,23 @@ def device_memory_mb() -> Dict[str, float]:
     return out
 
 
+def device_fence(*trees) -> None:
+    """Block until every jax array in `trees` is materialized on device.
+
+    `block_until_ready()` can return early on the tunneled TPU backend
+    (measured; see DESIGN.md), so the only reliable fence is fetching a
+    scalar from each output buffer — XLA completes the whole producing
+    program before any output byte is host-visible. Used by `--stage_sync`
+    to make the per-stage timing table device-true; costs one tiny host
+    round-trip per array, so it is off by default."""
+    import numpy as np
+
+    for tree in trees:
+        for leaf in jax.tree_util.tree_leaves(tree):
+            if isinstance(leaf, jax.Array) and leaf.size:
+                np.asarray(jax.device_get(leaf.ravel()[0]))
+
+
 class StageTimer:
     """Accumulates wall time per named stage; one instance per run.
 

@@ -132,3 +132,29 @@ def test_dense_cli_mesh_bit_identical(mini_scenario, tmp_path):
         assert filecmp.cmp(
             outs["single"] / f, outs["mesh"] / f, shallow=False
         ), f
+
+def test_put_plane_shards_only_packed_word_axis(tmp_path):
+    """ADVICE r4: under --mesh ind=N,loci=M only the packed uint32 hap word
+    axis carries the loci-divisibility guarantee; CV matrices (n, 2, ncv)
+    with arbitrary ncv must be replicated on 'loci', not sharded."""
+    import jax
+    import jax.numpy as jnp
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from geneevolve_tpu.parallel.mesh import make_mesh
+
+    sim = object.__new__(DenseSimulation)
+    sim.mesh = make_mesh(jax.devices()[:8], (4, 2))
+
+    packed = jnp.zeros((12, 2, 8), dtype=jnp.uint32)
+    out = sim._put_plane(packed)
+    spec = out.sharding.spec
+    assert spec[0] == "ind" and spec[-1] == "loci"
+
+    # ncv = 7 is not divisible by loci=2: must not raise, must replicate
+    cv = jnp.zeros((12, 2, 7), dtype=jnp.uint8)
+    out = sim._put_plane(cv)
+    spec = out.sharding.spec
+    assert spec[0] == "ind"
+    assert len(spec) < 3 or spec[-1] is None

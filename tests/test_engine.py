@@ -65,6 +65,43 @@ def test_same_seed_identical(mini_scenario, tmp_path):
     )
 
 
+def test_stage_sync_identical_and_timed(mini_scenario, tmp_path):
+    """--stage_sync fences each device stage (device-true timing) without
+    changing any result byte."""
+    d1, d2 = tmp_path / "a", tmp_path / "b"
+    d1.mkdir(), d2.mkdir()
+    _run(mini_scenario, d1)
+    sim = _run(mini_scenario, d2, ["--stage_sync"])
+    assert filecmp.cmp(
+        d1 / "out.pop1.summary", d2 / "out.pop1.summary", shallow=False
+    )
+    assert filecmp.cmp(
+        d1 / "out.info.pop1.gen4.txt", d2 / "out.info.pop1.gen4.txt",
+        shallow=False,
+    )
+    assert sim.timer.totals["reproduce"] > 0
+    assert sim.timer.totals["compute_ad"] > 0
+
+
+def test_info_writer_error_surfaces(mini_scenario, tmp_path):
+    """A failed background info-file write must raise, not vanish: the
+    done-future pruning in _save_info re-raises stored exceptions."""
+    sim = _run(mini_scenario, tmp_path)
+    boom = RuntimeError("disk full")
+
+    def _fail(*a, **k):
+        raise boom
+
+    sim._save_info_sync = _fail
+    sim._save_info(sim.pops[0], 1)  # queues the failing write
+    sim._io_pool.shutdown(wait=True)  # let it complete
+    from concurrent.futures import ThreadPoolExecutor
+
+    sim._io_pool = ThreadPoolExecutor(max_workers=1)
+    with pytest.raises(RuntimeError, match="disk full"):
+        sim._save_info(sim.pops[0], 2)
+
+
 def test_checkpoint_resume_bit_identical(mini_scenario, tmp_path):
     from geneevolve_tpu.core import checkpoint
 

@@ -57,6 +57,7 @@ def run_bench(
     scenario_dir: str,
     seed: int = 12345,
     keep_outputs: bool = False,
+    stage_sync: bool = False,
 ) -> dict:
     from tools.mkscenario import make_scenario
 
@@ -78,6 +79,10 @@ def run_bench(
     for k, v in flags.items():
         argv += [f"--{k}", v]
     argv += ["--seed", str(seed), "--prefix", prefix]
+    if stage_sync:
+        # device fence after each stage: the breakdown becomes device-true
+        # (headline s/gen runs leave this off to keep async overlap)
+        argv += ["--stage_sync"]
     cfg = parse_args(argv)
 
     t0 = time.time()
@@ -142,6 +147,7 @@ def run_bench(
         "mkscenario_s": round(t_gen_files, 2),
         "rss_mb": round(rss),
         "hbm_mb": {k: round(v) for k, v in hbm.items()},
+        "stage_sync": stage_sync,
         "backend": __import__("jax").default_backend(),
     }
 
@@ -156,12 +162,13 @@ def main(argv=None) -> int:
     ap.add_argument("--mat_cor", type=float, default=0.0)
     ap.add_argument("--scenario_dir", default="")
     ap.add_argument("--json", default="")
+    ap.add_argument("--stage_sync", action="store_true")
     args = ap.parse_args(argv)
 
     sdir = args.scenario_dir or tempfile.mkdtemp(prefix="ge_bench_")
     res = run_bench(
         args.pop_size, args.gens, args.n0, args.nchr, args.ncv,
-        args.mat_cor, sdir,
+        args.mat_cor, sdir, stage_sync=args.stage_sync,
     )
     line = json.dumps(res)
     print(line)
