@@ -599,6 +599,31 @@ class Simulation:
         m = self.mesh.shape["ind"]
         return ((n + m - 1) // m) * m
 
+    def _child_rows(self, p: PopRuntime, gen: int, n_child: int,
+                    par_rows: int) -> int:
+        """Plane-row count for a generation of `n_child` children.
+
+        Realized-N jitter absorption: under the Poisson offspring law the
+        realized size wobbles ~pop_size +- sqrt(pop_size) per generation.
+        Reusing the parents' plane rows (when they fit and are plausibly
+        jitter- not schedule-sized) keeps shapes constant so the reproduce
+        program is reused instead of recompiling every generation; fresh
+        allocations take ~4-sigma headroom so later generations fit too.
+        Padding rows are meioses of parent 0 (draws are prefix-stable in
+        the leading axis), masked out of every statistic and sliced off
+        every output. Shared by the segment and dense backends."""
+        n_pad = self._pad_n(n_child)
+        g = gen - 1
+        law_p = not p.rm and p.schedule.offspring_dist[g] not in ("f", "F")
+        if law_p and not self.exact_n:
+            sigma = int(np.sqrt(max(n_child, 1)))
+            hi = self._pad_n(n_child + 8 * sigma + 64)
+            if n_pad <= par_rows <= hi:
+                n_pad = par_rows
+            else:
+                n_pad = self._pad_n(n_child + 4 * sigma + 16)
+        return n_pad
+
     def _put(self, x: jax.Array) -> jax.Array:
         """Pin a stacked genome array (nchr, n, ...) to the mesh: sharded
         over individuals (axis 1, edge-padded to a mesh multiple),
@@ -1288,25 +1313,7 @@ class Simulation:
         # here (a point that syncs anyway) so the extra fetch costs nothing
         self._check_capacity_guard()
         n_child = len(plan.child_father)
-        n_pad = self._pad_n(n_child)
-        # realized-N jitter absorption: under the Poisson offspring law the
-        # realized size wobbles ~pop_size +- sqrt(pop_size) per generation.
-        # Reusing the parents' plane rows (when they fit and are plausibly
-        # jitter- not schedule-sized) keeps shapes constant so the in-place
-        # reproduce program is reused instead of recompiling every
-        # generation; fresh allocations take ~4-sigma headroom so later
-        # generations fit too. Padding rows are meioses of parent 0, masked
-        # out of every statistic and sliced off every output.
-        g = gen - 1
-        law_p = not p.rm and p.schedule.offspring_dist[g] not in ("f", "F")
-        if law_p and not self.exact_n:
-            sigma = int(np.sqrt(max(n_child, 1)))
-            par_rows = st.seg_st.shape[1]
-            hi = self._pad_n(n_child + 8 * sigma + 64)
-            if n_pad <= par_rows <= hi:
-                n_pad = par_rows
-            else:
-                n_pad = self._pad_n(n_child + 4 * sigma + 16)
+        n_pad = self._child_rows(p, gen, n_child, st.seg_st.shape[1])
         # pad parent indices with 0: pad children are real meioses of
         # parent 0, never read (RNG draws are prefix-stable in the leading
         # axis, so real children's draws are unchanged by padding)
@@ -1328,41 +1335,44 @@ class Simulation:
         # returns exact capacity needs; growth happens while the old state
         # is alive — the real pass donates the genome buffers, so an
         # after-the-fact redo is impossible
-        seg_need, mut_need, plan_arrays = _capacity_probe(
-            st.seg_st,
-            st.mut,
-            father,
-            mother,
-            key,
-            sm.bp,
-            sm.xo_cum,
-            sm.xo_lambda,
-            sm.bin_width,
-            sm.mut_bp,
-            sm.mut_cum,
-            sm.mut_lambda,
-            self.xo_cap,
-            self.mn_cap,
-            self.has_mut,
-            sm.xo_grid,
-            sm.mut_grid,
-            sm.bp0,
-            sm.mut_bp0,
-            sm.bp_step,
-            sm.mut_bp_step,
-            sm.xo_grid_w,
-            sm.mut_grid_w,
-        )
-        # one host sync per generation (the probe fetch)
-        if int(seg_need) > self.s_cap:
-            self.s_cap = int(seg_need) * 3 // 2 + 8
+        with self.timer("reproduce/probe"):
+            seg_need, mut_need, plan_arrays = _capacity_probe(
+                st.seg_st,
+                st.mut,
+                father,
+                mother,
+                key,
+                sm.bp,
+                sm.xo_cum,
+                sm.xo_lambda,
+                sm.bin_width,
+                sm.mut_bp,
+                sm.mut_cum,
+                sm.mut_lambda,
+                self.xo_cap,
+                self.mn_cap,
+                self.has_mut,
+                sm.xo_grid,
+                sm.mut_grid,
+                sm.bp0,
+                sm.mut_bp0,
+                sm.bp_step,
+                sm.mut_bp_step,
+                sm.xo_grid_w,
+                sm.mut_grid_w,
+            )
+            # one host sync per generation (the probe fetch)
+            seg_need, mut_need = int(seg_need), int(mut_need)
+        if seg_need > self.s_cap:
+            self.s_cap = seg_need * 3 // 2 + 8
             a, b = _pad_ledger(st.seg_st, st.seg_hap, self.s_cap)
             st.seg_st, st.seg_hap = self._put(a), self._put(b)
             self._log(f"      [capacity grow] S={self.s_cap}")
-        if int(mut_need) > self.m_cap:
-            self.m_cap = int(mut_need) * 3 // 2 + 8
+        if mut_need > self.m_cap:
+            self.m_cap = mut_need * 3 // 2 + 8
             st.mut = self._put(_pad_positions(st.mut, self.m_cap))
             self._log(f"      [capacity grow] M={self.m_cap}")
+        t_real0 = time.perf_counter()
         xo_f, xo_m, sh_plan, new_f, new_m = plan_arrays
         statics = dict(
             s_cap=self.s_cap,
@@ -1406,6 +1416,15 @@ class Simulation:
                 **statics,
             )
         st.seg_st = st.seg_hap = st.mut = st.cv = None  # donated
+        if self.cfg.stage_sync:
+            telemetry.device_fence(seg_st, seg_hap, mut, cv)
+        dt = time.perf_counter() - t_real0
+        self.timer.totals["reproduce/real"] = (
+            self.timer.totals.get("reproduce/real", 0.0) + dt
+        )
+        self.timer.counts["reproduce/real"] = (
+            self.timer.counts.get("reproduce/real", 0) + 1
+        )
         # capacity correctness rests on _capacity_probe (a separately
         # compiled program) reproducing the real pass's draws bit-for-bit;
         # keep the real pass's own counts as a drift tripwire, fetched

@@ -21,8 +21,8 @@ Poisson(pop_size/eligible) draws (`Simulation.cpp:2329-2337`), by the
 standard conditioning identity. The engine keeps compiled shapes stable
 under the resulting size jitter by padding genome planes with headroom and
 reusing the parents' plane rows (see `Simulation._reproduce`).
-`exact_n=True` (the dense backend's fixed-shape pipeline) conditions on
-N = pop_size instead — the jitter-free law documented in DESIGN.md.
+`exact_n=True` (GE_EXACT_N=1) conditions on N = pop_size instead — the
+jitter-free law documented in DESIGN.md.
 """
 
 from __future__ import annotations

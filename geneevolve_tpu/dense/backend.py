@@ -102,9 +102,12 @@ class DenseSimulation(Simulation):
             if "ind" not in mesh.axis_names:
                 raise SimulationError("mesh must have an 'ind' axis")
             self.mesh = mesh
-        # fixed-shape genome pipeline: condition the Poisson offspring law
-        # on exactly pop_size children (divergence documented in DESIGN.md)
-        self.exact_n = True
+        # realized generation size follows the reference Poisson law
+        # (`Simulation.cpp:2329-2337`), same as the segment engine: plane
+        # rows absorb the jitter via _child_rows headroom + parent-row
+        # reuse, so shapes stay stable and programs are not recompiled
+        # (GE_EXACT_N=1 restores the conditioned fixed-N law, handled by
+        # the base __init__)
 
     def _plane_spec(self, ndim: int, shard_loci: bool):
         from jax.sharding import NamedSharding, PartitionSpec
@@ -291,10 +294,7 @@ class DenseSimulation(Simulation):
         st = p.state
         dp = self._dp[p.index]
         n_child = len(plan.child_father)
-        n_pad = n_child
-        if self.mesh is not None:
-            m = self.mesh.shape["ind"]
-            n_pad = ((n_child + m - 1) // m) * m
+        n_pad = self._child_rows(p, gen, n_child, st.hap.shape[0])
         cfg = PackedConfig(**{**dp.dense_cfg.__dict__, "n": n_pad})
         # pad children to a mesh multiple with copies of couple 0 (draws
         # are prefix-stable in the leading axis; padding rows are masked

@@ -85,6 +85,23 @@ def with_prefix(argv: list, prefix: str) -> list:
     return out
 
 
+def with_seed(argv: list, seed: int) -> list:
+    out = list(argv)
+    i = out.index("--seed")
+    out[i + 1] = str(seed)
+    return out
+
+
+def mean_summaries(paths: list) -> dict:
+    """Elementwise seed-average of several .summary files (same schedule →
+    same row count; trajectory-mean noise shrinks ~1/sqrt(seeds), so the
+    averaged comparison runs at proportionally tighter tolerances)."""
+    all_cols = [read_summary(p) for p in paths]
+    return {
+        k: np.mean([c[k] for c in all_cols], axis=0) for k in all_cols[0]
+    }
+
+
 def for_ref_binary(argv: list) -> list:
     """Strip flags the shipped v1.1.0 binary does not know."""
     return [a for a in argv if a != "--no_output"]
@@ -110,9 +127,14 @@ def find_col(cols: dict, *cands) -> np.ndarray:
     raise KeyError(f"none of {cands} in {list(cols)}")
 
 
-def compare(ref: dict, ours: dict, n_pheno: int = 1) -> list:
-    """[(name, ref_val, our_val, tol, ok)]"""
+def compare(ref: dict, ours: dict, n_pheno: int = 1,
+            traj_scale: float = 1.0) -> list:
+    """[(name, ref_val, our_val, tol, ok)]. `traj_scale` tightens the
+    trajectory tolerances for seed-averaged comparisons (gen-0 checks are
+    deterministic given the panel, so their tolerance never scales)."""
     checks = []
+    traj_tol = round(0.15 * traj_scale, 4)
+    h2_tol = round(0.05 * traj_scale, 4)
 
     def rel(name, r, o, tol):
         denom = max(abs(r), 1e-9)
@@ -132,17 +154,17 @@ def compare(ref: dict, ours: dict, n_pheno: int = 1) -> list:
                 rel(f"{tag}gen0 {comp}", r[0], o[0], tol0)
             if comp == "var_A":
                 rel(f"{tag}mean {comp} g1..G", float(np.mean(r[1:])),
-                    float(np.mean(o[1:])), 0.15)
+                    float(np.mean(o[1:])), traj_tol)
         try:
             r = find_col(ref, f"ph{j}_var_P", "var_P")
             o = find_col(ours, f"ph{j}_var_P", "var_P")
             rel(f"{tag}mean var_P g1..G", float(np.mean(r[1:])),
-                float(np.mean(o[1:])), 0.15)
+                float(np.mean(o[1:])), traj_tol)
             rh = find_col(ref, f"ph{j}_h2", "h2")
             oh = find_col(ours, f"ph{j}_h2", "h2")
             dh = abs(float(np.mean(rh[1:])) - float(np.mean(oh[1:])))
             checks.append((f"{tag}mean h2 g1..G", float(np.mean(rh[1:])),
-                           float(np.mean(oh[1:])), 0.05, bool(dh <= 0.05)))
+                           float(np.mean(oh[1:])), h2_tol, bool(dh <= h2_tol)))
         except KeyError:
             pass
     return checks
@@ -173,30 +195,64 @@ def run_ours(argv: list, cwd: str) -> int:
         os.chdir(here)
 
 
-def run_example(i: int, exdir: str, ref_bin: str, workdir: str, report: dict) -> bool:
+def run_example(i: int, exdir: str, ref_bin: str, workdir: str, report: dict,
+                seeds: int = 1) -> bool:
+    """A/B one Example. `seeds` > 1 runs BOTH sides that many times
+    (seed, seed+1000, ...) and compares seed-averaged trajectories at
+    1/sqrt(seeds)-tightened tolerances — the per-seed tables are also
+    checked (at the single-seed tolerances) and recorded."""
     script = os.path.join(exdir, f"Example{i}.sh")
     argv = parse_example_script(script)
-    ref_prefix = os.path.join(workdir, f"ref.ex{i}")
-    our_prefix = os.path.join(workdir, f"ours.ex{i}")
+    base_seed = int(argv[argv.index("--seed") + 1])
+    seed_list = [base_seed + 1000 * k for k in range(seeds)]
 
-    print(f"== Example {i}: running reference binary ...", flush=True)
-    subprocess.run(
-        [ref_bin] + for_ref_binary(with_prefix(argv, ref_prefix)),
-        cwd=exdir, check=True, capture_output=True, timeout=1800,
-    )
-    print(f"== Example {i}: running geneevolve_tpu ...", flush=True)
-    rc = run_ours(with_prefix(argv, our_prefix), exdir)
-    if rc != 0:
-        print(f"Example {i}: our CLI failed rc={rc}")
-        return False
+    ref_prefixes, our_prefixes = [], []
+    for s in seed_list:
+        sargv = with_seed(argv, s)
+        ref_prefix = os.path.join(workdir, f"ref.ex{i}.s{s}")
+        our_prefix = os.path.join(workdir, f"ours.ex{i}.s{s}")
+        print(f"== Example {i} (seed {s}): running reference binary ...",
+              flush=True)
+        subprocess.run(
+            [ref_bin] + for_ref_binary(with_prefix(sargv, ref_prefix)),
+            cwd=exdir, check=True, capture_output=True, timeout=1800,
+        )
+        print(f"== Example {i} (seed {s}): running geneevolve_tpu ...",
+              flush=True)
+        rc = run_ours(with_prefix(sargv, our_prefix), exdir)
+        if rc != 0:
+            print(f"Example {i}: our CLI failed rc={rc}")
+            return False
+        ref_prefixes.append(ref_prefix)
+        our_prefixes.append(our_prefix)
 
     npop = 1 + argv.count("--next_population")
     n_pheno = argv.count("--file_cv_info") // npop
     all_ok = True
     for pop in range(1, npop + 1):
-        ref_cols = read_summary(f"{ref_prefix}.pop{pop}.summary")
-        our_cols = read_summary(f"{our_prefix}.pop{pop}.summary")
-        checks = compare(ref_cols, our_cols, n_pheno)
+        checks = []
+        for k, s in enumerate(seed_list):
+            ref_cols = read_summary(f"{ref_prefixes[k]}.pop{pop}.summary")
+            our_cols = read_summary(f"{our_prefixes[k]}.pop{pop}.summary")
+            tag = f"seed {s}: " if seeds > 1 else ""
+            checks += [
+                (tag + n, r, o, t, ok_)
+                for n, r, o, t, ok_ in compare(ref_cols, our_cols, n_pheno)
+            ]
+        if seeds > 1:
+            ref_avg = mean_summaries(
+                [f"{p}.pop{pop}.summary" for p in ref_prefixes]
+            )
+            our_avg = mean_summaries(
+                [f"{p}.pop{pop}.summary" for p in our_prefixes]
+            )
+            checks += [
+                (f"avg/{seeds}seeds: " + n, r, o, t, ok_)
+                for n, r, o, t, ok_ in compare(
+                    ref_avg, our_avg, n_pheno,
+                    traj_scale=1.0 / np.sqrt(seeds),
+                )
+            ]
         report.setdefault("checks", []).extend(
             {"pop": pop, "name": n, "ref": r, "ours": o, "tol": t, "ok": k}
             for n, r, o, t, k in checks
@@ -551,6 +607,11 @@ def main() -> int:
         help="space-separated extra flags for OUR runs only "
         "(e.g. '--backend dense')",
     )
+    ap.add_argument(
+        "--seeds", type=int, default=1,
+        help="run each Example this many times (varying --seed) and also "
+        "compare seed-averaged trajectories at tightened tolerances",
+    )
     args = ap.parse_args()
     if args.ours_extra:
         OURS_EXTRA.extend(args.ours_extra.split())
@@ -576,7 +637,8 @@ def main() -> int:
             elif tok in ("vf", "mm", "offf", "gammig"):
                 good = run_semantics(tok, exdir, args.ref_bin, workdir, report)
             else:
-                good = run_example(int(tok), exdir, args.ref_bin, workdir, report)
+                good = run_example(int(tok), exdir, args.ref_bin, workdir,
+                                   report, seeds=args.seeds)
         except subprocess.CalledProcessError as e:
             err = e.stderr.decode() if isinstance(e.stderr, bytes) else str(e.stderr)
             print(f"Example {tok}: reference binary failed: {err[:500]}")
