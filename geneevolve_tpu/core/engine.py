@@ -65,6 +65,10 @@ def _capacity_probe(
     mut_bp_step=None,
     xo_grid_w: int = 0,
     mut_grid_w: int = 0,
+    xo_L=None,
+    xo_c2T=None,
+    mut_L=None,
+    mut_c2T=None,
 ):
     """Generation plan: samples EVERY random draw of the coming reproduce
     pass (crossover point processes, gamete start chromatids, de novo
@@ -84,6 +88,10 @@ def _capacity_probe(
     def per_chr(st, mu, k, bp_c, xoc, xol, bw, mbp, mcum, mlam, ci):
         xg = xo_grid[ci] if xo_grid is not None else None
         mg = mut_grid[ci] if mut_grid is not None else None
+        xL = xo_L[ci] if xo_L is not None else None
+        xc2 = xo_c2T[ci] if xo_c2T is not None else None
+        mL = mut_L[ci] if mut_L is not None else None
+        mc2 = mut_c2T[ci] if mut_c2T is not None else None
         b0 = bp0[ci] if bp0 is not None else None
         mb0 = mut_bp0[ci] if mut_bp0 is not None else None
         bstep = bp_step[ci] if bp0 is not None else None
@@ -92,20 +100,37 @@ def _capacity_probe(
         xo_f = segments.sample_point_process(
             k_xo_f, nc, xo_cap, xoc, xol, bp_c, bw, False,
             grid=xg, grid_w=xo_grid_w, bp0=b0, bp_step=bstep,
+            bin_L=xL, bin_c2=xc2,
         )
         xo_m = segments.sample_point_process(
             k_xo_m, nc, xo_cap, xoc, xol, bp_c, bw, False,
             grid=xg, grid_w=xo_grid_w, bp0=b0, bp_step=bstep,
+            bin_L=xL, bin_c2=xc2,
         )
         sh = jax.random.randint(k_sh, (nc, 2), 0, 2)
-        nv0 = segments.count_merge_valid(st[father], xo_f, sh[:, 0])
-        nv1 = segments.count_merge_valid(st[mother], xo_m, sh[:, 1])
+        if segments.use_pallas_bins():
+            # same slot count at VPU roofline (bit-equal integer math;
+            # ops/merge_count_pallas.py) — the XLA compare-reduce form
+            # measures ~3.2 s/gen at n=300k (tools/sexp.py)
+            from geneevolve_tpu.ops.merge_count_pallas import (
+                count_merge_valid_pallas,
+            )
+
+            # flatten BEFORE the gather: a 3-D (n, 2, S) gather row pads
+            # 16x when materialized for the custom call (see kernel doc)
+            stf = st.reshape(st.shape[0], 2 * st.shape[-1])
+            nv0 = count_merge_valid_pallas(stf[father], xo_f, sh[:, 0])
+            nv1 = count_merge_valid_pallas(stf[mother], xo_m, sh[:, 1])
+        else:
+            nv0 = segments.count_merge_valid(st[father], xo_f, sh[:, 0])
+            nv1 = segments.count_merge_valid(st[mother], xo_m, sh[:, 1])
         seg_used = jnp.maximum(jnp.max(nv0), jnp.max(nv1))
         big = segments._big()
         if has_mut:
             new = segments.sample_point_process(
                 k_mp, nc, mn_cap, mcum, mlam, mbp, 0, True,
                 grid=mg, grid_w=mut_grid_w, bp0=mb0, bp_step=mbstep,
+                bin_L=mL, bin_c2=mc2,
             )
             # chromatid split of the de novo mutations (was drawn by the
             # real pass from the same k_mc before the plan refactor)
@@ -231,13 +256,19 @@ def _make_per_chr(
     def per_chr(
         st, hp, mu, xo_f, xo_m, sh, new_f, new_m, ci,
     ):
+        from geneevolve_tpu.ops.materialize import gather_rows
+
         cvr = cv[ci] if cv is not None else None  # (n, 2, C)
         q = cv_bp[ci] if cv_bp is not None else None  # (C,)
+        # materialize the parent-row gathers once (ops/materialize.py):
+        # fused into the merge's compare-reduces they re-execute per read
         st0, hap0, nv0 = segments.meiose(
-            st[father], hp[father], xo_f, sh[:, 0], s_cap, merge_ibd
+            gather_rows(st, father), gather_rows(hp, father),
+            xo_f, sh[:, 0], s_cap, merge_ibd
         )
         st1, hap1, nv1 = segments.meiose(
-            st[mother], hp[mother], xo_m, sh[:, 1], s_cap, merge_ibd
+            gather_rows(st, mother), gather_rows(hp, mother),
+            xo_m, sh[:, 1], s_cap, merge_ibd
         )
         child_st = jnp.stack([st0, st1], axis=1)
         child_hap = jnp.stack([hap0, hap1], axis=1)
@@ -246,10 +277,10 @@ def _make_per_chr(
             # new_f/new_m: the plan's de novo mutations, already split by
             # chromatid (BIG-masked complements of one sampled point set)
             mut0, nm0 = segments.inherit_mutations(
-                mu[father], xo_f, sh[:, 0], new_f, m_cap
+                gather_rows(mu, father), xo_f, sh[:, 0], new_f, m_cap
             )
             mut1, nm1 = segments.inherit_mutations(
-                mu[mother], xo_m, sh[:, 1], new_m, m_cap
+                gather_rows(mu, mother), xo_m, sh[:, 1], new_m, m_cap
             )
             child_mut = jnp.stack([mut0, mut1], axis=1)
             mut_used = jnp.maximum(jnp.max(nm0), jnp.max(nm1))
@@ -262,7 +293,7 @@ def _make_per_chr(
 
         if cvr is not None:
             def gamete_cv(par_idx, xo, sh_g, new_g):
-                par = cvr[par_idx]  # (nc, 2, C) row gather
+                par = gather_rows(cvr, par_idx)  # (nc, 2, C) row gather
                 phase = (
                     sh_g[:, None]
                     + jnp.sum(
@@ -554,6 +585,15 @@ class Simulation:
         self.mesh = mesh
         if mesh is not None and "ind" not in mesh.axis_names:
             raise SimulationError("mesh must have an 'ind' axis")
+        if mesh is not None:
+            # Pallas bins kernel off under ANY mesh: it has no SPMD
+            # partitioning rule, and the '--mesh outputs are bit-identical
+            # to the unsharded run' contract is proven against the XLA
+            # grid path (the kernel's bins match searchsorted exactly, but
+            # u itself can drift 1 ulp between differently-fused programs,
+            # so cross-PATH byte-identity is not guaranteed — see
+            # ops/cdf_bins_pallas.py)
+            segments._PALLAS_BINS = False
         # .int output needs the crossover-split ledger (reference part
         # structure, `Simulation.cpp:1582-1639`); otherwise merge
         # IBD-adjacent boundaries for a smaller ledger
@@ -1360,6 +1400,10 @@ class Simulation:
                 sm.mut_bp_step,
                 sm.xo_grid_w,
                 sm.mut_grid_w,
+                sm.xo_L,
+                sm.xo_c2T,
+                sm.mut_L,
+                sm.mut_c2T,
             )
             # one host sync per generation (the probe fetch)
             seg_need, mut_need = int(seg_need), int(mut_need)

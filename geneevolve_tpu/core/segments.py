@@ -31,6 +31,8 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Tuple
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -232,6 +234,13 @@ class StackedMaps:
     xo_grid_w: int = 0  # static
     mut_grid: jax.Array = None
     mut_grid_w: int = 0
+    # balanced-block tables for the Pallas VMEM-CDF bins kernel
+    # (ops/cdf_bins_pallas): (nchr, 128) block-last values and
+    # (nchr, bw, 128) transposed block entries
+    xo_L: jax.Array = None
+    xo_c2T: jax.Array = None
+    mut_L: jax.Array = None
+    mut_c2T: jax.Array = None
     # affine anchors: bp[c, k] == bp[c, 0] + k*step[c] exactly, all chrs
     bp0: jax.Array = None  # (nchr,) — None when any chr is non-affine
     mut_bp0: jax.Array = None
@@ -305,9 +314,20 @@ class StackedMaps:
 
         xo_grid, xo_w = grids([m.xo_cum for m in maps])
         mut_grid, mut_w = grids([m.mut_cum for m in maps])
+
+        def bins_tables(cum_stacked):
+            from geneevolve_tpu.ops import cdf_bins_pallas as cbp
+
+            L, c2 = cbp.build_tables_stacked(np.asarray(cum_stacked))
+            return jnp.asarray(L), jnp.asarray(c2)
+
+        xo_cum_s = stack([m.xo_cum for m in maps], jnp.float32)
+        mut_cum_s = stack([m.mut_cum for m in maps], jnp.float32)
+        xo_L, xo_c2T = bins_tables(xo_cum_s)
+        mut_L, mut_c2T = bins_tables(mut_cum_s)
         return StackedMaps(
             bp=stack([m.bp for m in maps], pos_dtype()),
-            xo_cum=stack([m.xo_cum for m in maps], jnp.float32),
+            xo_cum=xo_cum_s,
             xo_lambda=jnp.asarray(
                 [m.xo_lambda for m in maps], dtype=jnp.float32
             ),
@@ -315,7 +335,7 @@ class StackedMaps:
                 [m.bin_width for m in maps], dtype=jnp.float32
             ),
             mut_bp=stack([m.mut_bp for m in maps], pos_dtype()),
-            mut_cum=stack([m.mut_cum for m in maps], jnp.float32),
+            mut_cum=mut_cum_s,
             mut_lambda=jnp.asarray(
                 [m.mut_lambda for m in maps], dtype=jnp.float32
             ),
@@ -326,6 +346,10 @@ class StackedMaps:
             xo_grid_w=xo_w,
             mut_grid=mut_grid,
             mut_grid_w=mut_w,
+            xo_L=xo_L,
+            xo_c2T=xo_c2T,
+            mut_L=mut_L,
+            mut_c2T=mut_c2T,
             bp0=(
                 jnp.asarray([m.bp[0] for m in maps], dtype=pos_dtype())
                 if all(m.bp_affine for m in maps)
@@ -393,6 +417,23 @@ def empty_mutations_stacked(nchr: int, n: int, capacity: int) -> jax.Array:
     return jnp.full((nchr, n, 2, capacity), _big(), dtype=pos_dtype())
 
 
+_PALLAS_BINS = None
+
+
+def use_pallas_bins() -> bool:
+    """Route the samplers' inverse-CDF through the Pallas VMEM kernel
+    (ops/cdf_bins_pallas). Bit-identical bins to the XLA paths; TPU-only
+    (the kernel has no SPMD partitioning rule — the engine turns this off
+    under a multi-device mesh). GE_NO_PALLAS_BINS=1 disables."""
+    global _PALLAS_BINS
+    if _PALLAS_BINS is None:
+        _PALLAS_BINS = (
+            os.environ.get("GE_NO_PALLAS_BINS") != "1"
+            and jax.default_backend() == "tpu"
+        )
+    return _PALLAS_BINS
+
+
 def sample_point_process(
     key: jax.Array,
     n: int,
@@ -406,6 +447,8 @@ def sample_point_process(
     grid_w: int = 0,  # static W of the grid (0 = use searchsorted)
     bp0=None,  # affine anchor base (traced scalar) — with bp_step,
     bp_step=None,  # replaces the bp[bins] gather by arithmetic
+    bin_L=None,  # (128,) + (bw, 128) Pallas bins-kernel tables
+    bin_c2=None,  # (StackedMaps.xo_L / xo_c2T); used when use_pallas_bins()
 ) -> jax.Array:
     """(n, cap) positions padded with BIG, non-decreasing in bin index.
 
@@ -443,7 +486,12 @@ def sample_point_process(
         axis=1,
     )
     u = s[:, :cap] / jnp.maximum(denom, 1e-30)[:, None] * cum[-1]
-    if grid is not None and grid_w > 0:
+    if bin_L is not None and use_pallas_bins():
+        from geneevolve_tpu.ops import cdf_bins_pallas as cbp
+
+        bins = cbp.searchsorted_right(u, bin_L, bin_c2)
+        bins = jnp.minimum(bins, K - 1)
+    elif grid is not None and grid_w > 0:
         # inverse-CDF grid (build_cdf_grid): one narrow ROW gather +
         # <=W in-register compares per probe, counting run lengths so a
         # probe lands exactly where searchsorted-right would even across

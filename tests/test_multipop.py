@@ -128,10 +128,11 @@ def test_two_pop_dense_backend_migration(duo_scenario, tmp_path):
         assert (tmp_path / f"out.pop{p}.summary").exists()
         assert (tmp_path / f"out.info.pop{p}.gen3.txt").exists()
         assert (tmp_path / f"out.pop{p}.gen3.chr1.hap").exists()
-    # dense conditions on exact sizes: totals preserved under migration
+    # realized sizes ~ Poisson(50) per pop (reference offspring law, now
+    # also in the dense backend); totals preserved under migration
     n1 = len((tmp_path / "out.info.pop1.gen3.txt").read_text().splitlines()) - 1
     n2 = len((tmp_path / "out.info.pop2.gen3.txt").read_text().splitlines()) - 1
-    assert n1 + n2 == 100
+    assert 55 <= n1 + n2 <= 150, (n1, n2)
     # migration actually moved rows: pop sizes differ from the pre-move 50
     # only by the round(m*n) exchange, so both remain 50 here; instead
     # verify genomes crossed: pop1's plane rows at gen3 contain haplotype

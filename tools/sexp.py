@@ -199,7 +199,7 @@ def main():
         )
 
     @jax.jit
-    def count_valid(key):
+    def count_valid(st, father, mother, key):
         def per_chr(stc, k):
             xo = jax.random.randint(
                 k, (n, xo_cap), 0, 30000
@@ -216,7 +216,7 @@ def main():
         )
 
     @jax.jit
-    def gather_parents():
+    def gather_parents(st, father, mother):
         def per_chr(stc):
             return (
                 jnp.sum(stc[father].astype(jnp.int32))
@@ -225,13 +225,88 @@ def main():
 
         return jax.lax.map(per_chr, st, batch_size=1)
 
+    @jax.jit
+    def count_unrolled(st, father, mother, key):
+        """count_merge_valid with the K-axis compare-reduce unrolled into a
+        Python sum (one fused elementwise kernel, no (Q, K, n) interm)."""
+        big = segments._big()
+
+        def active_unrolled(xo_T, start_hap, q_T):
+            cnt = jnp.zeros(q_T.shape, dtype=jnp.int16)
+            for k in range(xo_T.shape[0]):
+                cnt = cnt + (xo_T[k][None, :] <= q_T).astype(jnp.int16)
+            return (start_hap[None, :].astype(jnp.int16) + cnt) % 2
+
+        def cmv(par, xo, sh):
+            ncp, _, S = par.shape
+            A = par[:, 0, :].T
+            B = par[:, 1, :].T
+            xo_T = xo.T
+            actA = active_unrolled(xo_T, sh, A)
+            actB = active_unrolled(xo_T, sh, B)
+            not_first = jnp.arange(S)[:, None] > 0
+            return (
+                1
+                + jnp.sum((xo_T < big).astype(jnp.int32), axis=0)
+                + jnp.sum(((A < big) & (actA == 0) & not_first).astype(jnp.int32), axis=0)
+                + jnp.sum(((B < big) & (actB == 1) & not_first).astype(jnp.int32), axis=0)
+            )
+
+        def per_chr(stc, k):
+            xo = jax.random.randint(k, (n, xo_cap), 0, 30000).astype(stc.dtype)
+            sh = jax.random.randint(k, (n,), 0, 2)
+            return cmv(stc[father], xo, sh) + cmv(stc[mother], xo, sh)
+
+        keys = jax.random.split(key, st.shape[0])
+        return jax.lax.map(lambda a: per_chr(*a), (st, keys), batch_size=1)
+
+    @jax.jit
+    def samplers_T(key):
+        """Sampler elementwise math in transposed (cap, n) layout (full
+        lanes), WITHOUT the bins step: measures the non-gather floor."""
+        def per_chr(k, xol, bw):
+            k1, k2, k3 = jax.random.split(k, 3)
+            counts = jnp.minimum(jax.random.poisson(k1, xol, (n,)), xo_cap)
+            gaps = -jnp.log1p(
+                -jax.random.uniform(k2, (xo_cap + 1, n), dtype=jnp.float32)
+            )
+            s = jnp.cumsum(gaps, axis=0)
+            denom = jnp.sum(
+                jnp.where(
+                    jnp.arange(xo_cap + 1)[:, None] == counts[None, :], s, 0.0
+                ),
+                axis=0,
+            )
+            u = s[:xo_cap] / jnp.maximum(denom, 1e-30)[None, :]
+            v = jnp.minimum(
+                jax.random.uniform(k3, (xo_cap, n), dtype=jnp.float32),
+                1.0 - 1e-7,
+            )
+            pos = (u * 29999.0).astype(jnp.int32) + jnp.floor(v * bw).astype(jnp.int32)
+            return jnp.where(
+                jnp.arange(xo_cap)[:, None] < counts[None, :], pos, 1 << 30
+            )
+
+        keys = jax.random.split(key, st.shape[0] * 2).reshape(st.shape[0], 2, -1)
+        return jax.lax.map(
+            lambda a: (per_chr(a[0][0], a[1], a[2]),
+                       per_chr(a[0][1], a[1], a[2])),
+            (keys, sm.xo_lambda, sm.bin_width),
+            batch_size=1,
+        )
+
     todo = {
         "probe_full": lambda: timeit(probe_full, iters=args.iters),
         "samplers": lambda: timeit(samplers_only, key, iters=args.iters),
         "sampler_nogrid": lambda: timeit(samplers_nogrid, key, iters=args.iters),
         "sampler_gather": lambda: timeit(gather_rows, key, iters=args.iters),
-        "count_valid": lambda: timeit(count_valid, key, iters=args.iters),
-        "gather_parents": lambda: timeit(gather_parents, iters=args.iters),
+        "count_valid": lambda: timeit(
+            count_valid, st, father, mother, key, iters=args.iters),
+        "gather_parents": lambda: timeit(
+            gather_parents, st, father, mother, iters=args.iters),
+        "count_unrolled": lambda: timeit(
+            count_unrolled, st, father, mother, key, iters=args.iters),
+        "samplers_T": lambda: timeit(samplers_T, key, iters=args.iters),
     }
     only = [s for s in args.only.split(",") if s]
     for name, fn in todo.items():
