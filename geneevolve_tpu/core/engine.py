@@ -411,7 +411,7 @@ def _reproduce_group_inplace(
     return out_st, out_hap, out_mut, out_cv, su, mu_used
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("want_cv",))
 def _ad_all(
     seg_st,  # (nchr, n, 2, S)
     seg_hap,
@@ -423,11 +423,15 @@ def _ad_all(
     pop_starts,  # (npop,)
     dominance_on,  # () bool
     n_real,  # () int32 — rows >= n_real are mesh padding
+    want_cv: bool = True,  # static: stack the (nchr, n, 2, ncv) allele
+    # dump (--debug .cvval); False keeps peak memory at ~1 chromosome's
+    # temporaries (a stacked int32 dump alone is 17.7 GB at n=1e6)
 ):
     """One phenotype's A/D for every individual, all chromosomes in one
     compiled call: the vectorized `ras_find_cv` + `ras_compute_AD`
-    (`Simulation.cpp:2752-2815, 2624-2749`). Also returns the per-chromatid
-    CV alleles (nchr, n, 2, ncv) for the --debug .cvval dump."""
+    (`Simulation.cpp:2752-2815, 2624-2749`). With `want_cv` also returns
+    the per-chromatid CV alleles (nchr, n, 2, ncv) for the --debug .cvval
+    dump (a zero-size placeholder otherwise)."""
 
     def per_chr(st, hp, mu, bp_c, fcv, at, dt):
         hidx = segments.hap_at(st, hp, bp_c)  # (n, 2, ncv)
@@ -451,13 +455,27 @@ def _ad_all(
         )
         return A, D, c
 
-    # gathers only (no sort scratch): plain vmap compiles and runs fine at
-    # every shape tried; the scan form tripped a pathological remote
-    # compile on axon (>15 min)
-    A, D, c = jax.vmap(per_chr)(
-        seg_st, seg_hap, mut, cv_bp, founder_cv, a_tab, d_tab
+    # unrolled accumulation over chromosomes: the earlier 22-wide vmap
+    # materialized every chromosome's (n, 2, ncv) gather temporaries at
+    # once (17.7 GB at n=1e6); a python-unrolled sum lets XLA reuse one
+    # chromosome's buffers. (The lax.scan form tripped a pathological
+    # remote compile on axon, >15 min — unrolling avoids both.)
+    nchr = seg_st.shape[0]
+    A = D = 0.0
+    cs = []
+    for ci in range(nchr):
+        A_c, D_c, c_c = per_chr(
+            seg_st[ci], seg_hap[ci], mut[ci], cv_bp[ci], founder_cv[ci],
+            a_tab[ci], d_tab[ci],
+        )
+        A = A + A_c
+        D = D + D_c
+        if want_cv:
+            cs.append(c_c)
+    c = jnp.stack(cs) if want_cv else jnp.zeros(
+        (nchr, 0, 2, 0), dtype=jnp.uint8
     )
-    return jnp.sum(A, axis=0), jnp.sum(D, axis=0), c
+    return A, D, c
 
 
 @jax.jit
@@ -489,6 +507,13 @@ def _ad_resident(
         lambda x: per_chr(*x), (cv, a_row, d_row), batch_size=4
     )
     return jnp.sum(A, axis=0), jnp.sum(D, axis=0)
+
+
+@jax.jit
+def _moments_jit(x):
+    # f32 tree-reduction sums (x64 is off); the NR consumer tolerates
+    # ~1e-5 relative moment error at biobank n
+    return jnp.sum(x), jnp.sum(x * x)
 
 
 # --------------------------------------------------------------------------
@@ -983,15 +1008,37 @@ class Simulation:
             svf=np.ones(n),
         )
 
+    def _gen0_rows(self, p: PopRuntime, n0: int) -> int:
+        """Plane rows for the gen-0 state: padded up to the row count the
+        generation-1 children will use, so the gen-1 reproduce/probe
+        programs have the SAME shapes as the steady-state ones — one
+        compile instead of two (cold start: the n0-parent variants of the
+        big programs cost 10-80 s each on the tunneled chip). Padding rows
+        are edge copies (valid hap indices), masked from every statistic
+        via PopState.n and never gathered as parents. GE_NO_PAD_GEN0=1
+        restores exact-n0 planes."""
+        if os.environ.get("GE_NO_PAD_GEN0") == "1":
+            return n0
+        pop1 = int(p.schedule.pop_size[0])
+        law = p.schedule.offspring_dist[0]
+        if p.rm or law in ("f", "F") or self.exact_n:
+            target = self._pad_n(pop1)
+        else:
+            sigma = int(np.sqrt(max(pop1, 1)))
+            target = self._pad_n(pop1 + 4 * sigma + 16)
+        return max(n0, target)
+
     def _init_gen0_state(self, p: PopRuntime) -> PopState:
         """Backend hook: founder genome state (segment-ledger form here)."""
         n = p.n_founders
+        rows = self._gen0_rows(p, n)
         chr_starts = np.array([m.chr_start for m in p.maps])
         seg_st, seg_hap = segments.init_gen0_ledger_stacked(
-            n, chr_starts, p.hap_offset, self.s_cap, self.hap_dtype
+            n, chr_starts, p.hap_offset, self.s_cap, self.hap_dtype,
+            rows=rows,
         )
         mut = segments.empty_mutations_stacked(
-            len(self.chrs), n, self.m_cap
+            len(self.chrs), rows, self.m_cap
         )
         cv0 = None
         if self.resident_cv:
@@ -1010,6 +1057,16 @@ class Simulation:
                 ],
                 axis=3,
             )  # (nchr, n, 2, npheno*ncv_pad)
+        if rows > n and cv0 is not None:
+            # edge-pad the resident CV matrix host-side (device jnp.pad
+            # copies pick inflated lane-padded layouts; see
+            # init_gen0_ledger_stacked)
+            c = np.asarray(cv0)
+            cv0 = jnp.asarray(
+                np.concatenate(
+                    [c, np.repeat(c[:, -1:], rows - n, axis=1)], axis=1
+                )
+            )
         return PopState(
             seg_st=self._put(seg_st),
             seg_hap=self._put(seg_hap),
@@ -1090,6 +1147,7 @@ class Simulation:
                     self.pop_starts,
                     dominance_on,
                     jnp.asarray(st.n, dtype=jnp.int32),
+                    want_cv=dump_cv,
                 )
             A[j] = np.asarray(A_j, dtype=np.float64)[: st.n]
             D[j] = np.asarray(D_j, dtype=np.float64)[: st.n]
@@ -1204,12 +1262,40 @@ class Simulation:
         for j, g in enumerate(self.cfg.gamma):
             if g == 0:
                 continue
-            ah = phenotype.solve_gamma_offset(
-                [p.state.comp["P"][j] for p in self.pops], g
-            )
+            if self.mesh is not None:
+                # cross-population variance moments as one device
+                # reduction per pop (psum across shards under the mesh;
+                # SURVEY §2.4 'gamma-effect all-reduce'); the NR scalar
+                # iteration stays host-side on the 3 fetched scalars
+                moments = [
+                    self._device_moments(p.state.comp["P"][j])
+                    for p in self.pops
+                ]
+            else:
+                moments = [
+                    phenotype.pop_moments(p.state.comp["P"][j])
+                    for p in self.pops
+                ]
+            ah = phenotype.solve_gamma_offset_moments(moments, g)
             offs = phenotype.gamma_offsets(self.n_pop, ah)
             for i, p in enumerate(self.pops):
                 p.state.comp["P"][j] += offs[i]
+
+    def _device_moments(self, x: np.ndarray) -> tuple:
+        """(n, sum, sumsq) computed on device with the vector sharded over
+        the mesh's 'ind' axis — XLA inserts the cross-shard psum."""
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        n = x.shape[0]
+        n_pad = self._pad_n(n)
+        xp = np.zeros(n_pad, dtype=np.float64)
+        xp[:n] = x
+        xd = jax.device_put(
+            jnp.asarray(xp, dtype=jnp.float32),
+            NamedSharding(self.mesh, PartitionSpec("ind")),
+        )
+        s, ss = _moments_jit(xd)
+        return float(n), float(s), float(ss)
 
     def _device_mate(
         self, p: PopRuntime, gen: int, pop_size: int, g: int
@@ -1528,7 +1614,31 @@ class Simulation:
 
     # -------------------------------------------------------------- migration
     def _migrate(self, gen: int) -> None:
-        """Physical moves between populations (`Simulation.cpp:877-989`)."""
+        """Physical moves between populations (`Simulation.cpp:877-989`).
+
+        Division of labor (SURVEY §2.4 'migration collective'):
+
+        - Emigrant INDEX sampling is host-side and deliberately so: the
+          draw uses the mesh-independent np_seed(seed, gen, MIGRATION)
+          stream, so the selected rows are identical under any sharding
+          (bit-identity tested 1-vs-8 devices,
+          `tests/test_multipop.py::test_two_pop_migration_sharded_bit_identical`),
+          and the work is O(round(m*n)) integers per generation — ~1e7
+          index draws (~0.1 s numpy) even at pod-scale n=1e9 with m=1%,
+          amortized against a full generation of device compute. Putting
+          the sampler on device would buy nothing: the indices are
+          consumed by host-orchestrated gathers either way.
+        - The DATA movement is device-side: `_gather_state` gathers the
+          surviving + immigrant rows directly between the pops' sharded
+          ledger planes (no host round-trip of genome data).
+        - The collective FORM at scale: when populations are partitioned
+          across devices (deme mode), the same exchange is ONE
+          all_to_all / ring ppermute over the mesh
+          (`parallel/mesh.py:259-290`, dryrun-verified on 8 devices) —
+          that is the pod-scale path; this method is the single-mesh
+          form where every pop is resident on the same devices and a
+          collective between them would be an artificial self-send.
+        """
         mats = self.migration[gen - 1]
         rng_m = np.random.default_rng(
             np_seed(self.cfg.seed, gen, Stage.MIGRATION, 0)

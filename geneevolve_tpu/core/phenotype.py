@@ -149,21 +149,37 @@ def gamma_offsets(n_pop: int, a: float) -> np.ndarray:
     return a * ((2 * i) // (n_pop - 1) - 1).astype(np.float64)
 
 
-def solve_gamma_offset(
-    phen_pops: list, gamma: float, x0: float = 10.0, precision: float = 1e-4
+def pop_moments(x) -> tuple:
+    """(n, sum, sumsq) of one population's phenotype vector, float64."""
+    x = np.asarray(x, dtype=np.float64)
+    return float(x.shape[0]), float(x.sum()), float((x * x).sum())
+
+
+def solve_gamma_offset_moments(
+    moments: list, gamma: float, x0: float = 10.0, precision: float = 1e-4
 ) -> float:
     """Newton-Raphson for the offset scale `a` s.t.
-    var(concat(P_i + b_i)) = (1+gamma) var(concat(P_i))."""
-    n_pop = len(phen_pops)
-    x = np.concatenate([np.asarray(p, dtype=np.float64) for p in phen_pops])
-    s2x = var(x)
+    var(concat(P_i + b_i)) = (1+gamma) var(concat(P_i)), from per-pop
+    sufficient moments only: var(concat(P_i + b_i)) is closed-form in
+    (n_i, sum_i, sumsq_i), so the cross-population reduction is three
+    scalars per population — computed as one device psum under a mesh
+    (SURVEY §2.4 'gamma-effect all-reduce') — and the NR scalar iteration
+    stays host-side."""
+    n_pop = len(moments)
+    N = sum(m[0] for m in moments)
+
+    def var_with(b) -> float:
+        s = sum(m[1] + m[0] * b[i] for i, m in enumerate(moments))
+        ss = sum(
+            m[2] + 2.0 * b[i] * m[1] + m[0] * b[i] * b[i]
+            for i, m in enumerate(moments)
+        )
+        return (ss - s * s / N) / (N - 1.0)
+
+    s2x = var_with([0.0] * n_pop)
 
     def f(a: float) -> float:
-        b = gamma_offsets(n_pop, a)
-        y = np.concatenate(
-            [np.asarray(p, dtype=np.float64) + b[i] for i, p in enumerate(phen_pops)]
-        )
-        return var(y) - (1.0 + gamma) * s2x
+        return var_with(gamma_offsets(n_pop, a)) - (1.0 + gamma) * s2x
 
     dx = 1e-3
     a = x0
@@ -176,3 +192,13 @@ def solve_gamma_offset(
         if abs(f(a)) < precision:
             return a
     return a
+
+
+def solve_gamma_offset(
+    phen_pops: list, gamma: float, x0: float = 10.0, precision: float = 1e-4
+) -> float:
+    """Newton-Raphson for the offset scale `a` s.t.
+    var(concat(P_i + b_i)) = (1+gamma) var(concat(P_i))."""
+    return solve_gamma_offset_moments(
+        [pop_moments(p) for p in phen_pops], gamma, x0, precision
+    )

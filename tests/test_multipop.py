@@ -218,3 +218,37 @@ def test_two_pop_migration_sharded_bit_identical(duo_scenario, tmp_path):
         assert filecmp.cmp(
             outs["single"] / f, outs["mesh"] / f, shallow=False
         ), f
+
+
+def test_gamma_device_moments_match_host(duo_scenario, tmp_path):
+    """Under a mesh the gamma cross-population variance moments are one
+    device psum per pop (SURVEY 2.4 'gamma-effect all-reduce'); offsets
+    must match the host float64 moments to f32 reduction accuracy."""
+    import jax
+
+    from geneevolve_tpu.core import phenotype
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from geneevolve_tpu.parallel.mesh import make_mesh
+
+    cfg = parse_args(_args(duo_scenario, tmp_path, ["--gamma", "0.5"]))
+    mesh = make_mesh(jax.devices()[:8], (8, 1))
+    sim = Simulation(cfg, verbose=False, mesh=mesh)
+    sim.init_generation0()
+    rng = np.random.default_rng(0)
+    for p in sim.pops:
+        x = rng.normal(size=p.state.n) * 3 + p.index
+        host = phenotype.pop_moments(x)
+        dev = sim._device_moments(x)
+        assert dev[0] == host[0]
+        np.testing.assert_allclose(dev[1], host[1], rtol=1e-5, atol=1e-3)
+        np.testing.assert_allclose(dev[2], host[2], rtol=1e-5, atol=1e-2)
+    a_host = phenotype.solve_gamma_offset(
+        [rng.normal(size=50), rng.normal(size=60) + 1], 0.4
+    )
+    a_mom = phenotype.solve_gamma_offset_moments(
+        [phenotype.pop_moments(rng.normal(size=50)),
+         phenotype.pop_moments(rng.normal(size=60) + 1)], 0.4
+    )
+    assert np.isfinite(a_host) and np.isfinite(a_mom)
