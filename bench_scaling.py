@@ -34,8 +34,9 @@ def run_one(n_dev: int) -> None:
         make_sharded_step,
         shard_state,
     )
+    from geneevolve_tpu.parallel.mesh import make_routed_step
 
-    mode = os.environ.get("SCALE_MODE", "deme")  # deme | panmictic
+    mode = os.environ.get("SCALE_MODE", "deme")  # deme | panmictic | routed
     devices = jax.devices("cpu")[:n_dev]
     assert len(devices) == n_dev, (len(devices), n_dev)
     mesh = make_mesh(devices)
@@ -52,11 +53,13 @@ def run_one(n_dev: int) -> None:
         selection=True,
     )
     state = shard_state(init_state(jax.random.key(0), cfg), mesh)
-    step = (
-        make_deme_step(cfg, mesh)
-        if mode == "deme"
-        else make_sharded_step(cfg, mesh)
-    )
+    step = {
+        "deme": lambda: make_deme_step(cfg, mesh),
+        "panmictic": lambda: make_sharded_step(cfg, mesh),
+        # routed: exact panmictic law, request-routed parent fetches
+        # instead of the parent-plane all-gather (VERDICT r4 item 8 A/B)
+        "routed": lambda: make_routed_step(cfg, mesh),
+    }[mode]()
 
     out = state
     for g in range(2):  # warmup/compile

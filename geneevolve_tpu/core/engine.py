@@ -411,7 +411,7 @@ def _reproduce_group_inplace(
     return out_st, out_hap, out_mut, out_cv, su, mu_used
 
 
-@partial(jax.jit, static_argnames=("want_cv",))
+@partial(jax.jit, static_argnames=("want_cv", "counts_only"))
 def _ad_all(
     seg_st,  # (nchr, n, 2, S)
     seg_hap,
@@ -426,6 +426,10 @@ def _ad_all(
     want_cv: bool = True,  # static: stack the (nchr, n, 2, ncv) allele
     # dump (--debug .cvval); False keeps peak memory at ~1 chromosome's
     # temporaries (a stacked int32 dump alone is 17.7 GB at n=1e6)
+    counts_only: bool = False,  # static: return only the (nchr, ncv)
+    # global allele counts of this row block (pass 1 of the chunked path)
+    counts=None,  # (nchr, ncv) int32 precomputed GLOBAL counts (pass 2)
+    n_freq=None,  # () int32 population size behind `counts`
 ):
     """One phenotype's A/D for every individual, all chromosomes in one
     compiled call: the vectorized `ras_find_cv` + `ras_compute_AD`
@@ -433,7 +437,7 @@ def _ad_all(
     the per-chromatid CV alleles (nchr, n, 2, ncv) for the --debug .cvval
     dump (a zero-size placeholder otherwise)."""
 
-    def per_chr(st, hp, mu, bp_c, fcv, at, dt):
+    def per_chr(st, hp, mu, bp_c, fcv, at, dt, cnt_c):
         hidx = segments.hap_at(st, hp, bp_c)  # (n, 2, ncv)
         ncv = bp_c.shape[0]
         g = fcv[hidx, jnp.arange(ncv)[None, None, :]]
@@ -441,6 +445,10 @@ def _ad_all(
             mu, jnp.broadcast_to(bp_c, hidx.shape)
         )
         c = jnp.where(flip, 1 - g, g).astype(jnp.uint8)
+        if counts_only:
+            valid = jnp.arange(c.shape[0]) < n_real
+            t = (c[:, 0] + c[:, 1]).astype(jnp.int32)
+            return jnp.sum(jnp.where(valid[:, None], t, 0), axis=0)
         root = jnp.searchsorted(pop_starts, hidx, side="right") - 1
         icv = jnp.arange(ncv)[None, :]
         A, D = phenotype.additive_dominance_chr(
@@ -452,6 +460,8 @@ def _ad_all(
             dt[root[:, 1], icv],
             dominance_on,
             n_real,
+            tsum=cnt_c,
+            n_freq=n_freq if cnt_c is not None else None,
         )
         return A, D, c
 
@@ -461,15 +471,31 @@ def _ad_all(
     # chromosome's buffers. (The lax.scan form tripped a pathological
     # remote compile on axon, >15 min — unrolling avoids both.)
     nchr = seg_st.shape[0]
-    A = D = 0.0
+    if counts_only:
+        cnts = []
+        carry = jnp.zeros((), jnp.int32)
+        for ci in range(nchr):
+            t = per_chr(
+                seg_st[ci], seg_hap[ci], mut[ci], cv_bp[ci],
+                founder_cv[ci], a_tab[ci], d_tab[ci], None,
+            )
+            t, carry = jax.lax.optimization_barrier((t, carry))
+            cnts.append(t)
+        return jnp.stack(cnts)
+    A = D = jnp.zeros((), dtype=jnp.float32)
     cs = []
     for ci in range(nchr):
         A_c, D_c, c_c = per_chr(
             seg_st[ci], seg_hap[ci], mut[ci], cv_bp[ci], founder_cv[ci],
             a_tab[ci], d_tab[ci],
+            None if counts is None else counts[ci],
         )
         A = A + A_c
         D = D + D_c
+        # barrier: serialize the unrolled chromosomes so one iteration's
+        # ~1 GB gather temporaries die before the next allocates (without
+        # it XLA overlaps iterations and the 1e6-row program OOMs)
+        A, D = jax.lax.optimization_barrier((A, D))
         if want_cv:
             cs.append(c_c)
     c = jnp.stack(cs) if want_cv else jnp.zeros(
@@ -1136,19 +1162,72 @@ class Simulation:
                     jnp.asarray(st.n, dtype=jnp.int32),
                 )
             else:
-                A_j, D_j, c = _ad_all(
-                    st.seg_st,
-                    st.seg_hap,
-                    st.mut,
-                    self.cv_bp_dev[j],
-                    self.global_cv[j],
-                    self.eff_a[j],
-                    self.eff_d[j],
-                    self.pop_starts,
-                    dominance_on,
-                    jnp.asarray(st.n, dtype=jnp.int32),
-                    want_cv=dump_cv,
-                )
+                # biobank-n: slice the individuals axis so _ad_all's
+                # per-chromosome gather temporaries ((chunk, 2, ncv) int32
+                # stacks) stay bounded — the unchunked program OOMs at
+                # n=1e6 even serialized (measured); the debug allele dump
+                # needs the whole matrix, so it keeps one call
+                CH = int(os.environ.get("GE_AD_CHUNK", "131072"))
+                rows = st.seg_st.shape[1]
+                if dump_cv or rows <= CH:
+                    A_j, D_j, c = _ad_all(
+                        st.seg_st,
+                        st.seg_hap,
+                        st.mut,
+                        self.cv_bp_dev[j],
+                        self.global_cv[j],
+                        self.eff_a[j],
+                        self.eff_d[j],
+                        self.pop_starts,
+                        dominance_on,
+                        jnp.asarray(st.n, dtype=jnp.int32),
+                        want_cv=dump_cv,
+                    )
+                else:
+                    # pass 1: global allele counts (the per-generation
+                    # frequency in ras_compute_AD is population-wide, so
+                    # chunks cannot each use their own); pass 2: A/D per
+                    # chunk against the global frequency
+                    def chunk_args(lo, hi):
+                        return (
+                            st.seg_st[:, lo:hi],
+                            st.seg_hap[:, lo:hi],
+                            st.mut[:, lo:hi],
+                            self.cv_bp_dev[j],
+                            self.global_cv[j],
+                            self.eff_a[j],
+                            self.eff_d[j],
+                            self.pop_starts,
+                            dominance_on,
+                            jnp.asarray(
+                                max(0, min(st.n - lo, hi - lo)), jnp.int32
+                            ),
+                        )
+
+                    spans = [
+                        (lo, min(lo + CH, rows))
+                        for lo in range(0, rows, CH)
+                    ]
+                    counts = None
+                    for lo, hi in spans:
+                        t = np.asarray(
+                            _ad_all(*chunk_args(lo, hi), want_cv=False,
+                                    counts_only=True)
+                        )
+                        counts = t if counts is None else counts + t
+                    counts = jnp.asarray(counts)
+                    A_parts, D_parts = [], []
+                    for lo, hi in spans:
+                        A_c, D_c, _ = _ad_all(
+                            *chunk_args(lo, hi), want_cv=False,
+                            counts=counts,
+                            n_freq=jnp.asarray(st.n, jnp.int32),
+                        )
+                        A_parts.append(np.asarray(A_c))
+                        D_parts.append(np.asarray(D_c))
+                    A_j = np.concatenate(A_parts)
+                    D_j = np.concatenate(D_parts)
+                    c = None
             A[j] = np.asarray(A_j, dtype=np.float64)[: st.n]
             D[j] = np.asarray(D_j, dtype=np.float64)[: st.n]
             if dump_cv:

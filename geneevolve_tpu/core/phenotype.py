@@ -42,20 +42,26 @@ def additive_dominance_chr(
     d1: jax.Array,
     dominance_on: jax.Array,  # () bool — False when vd == 0
     n_real=None,  # () int — rows >= n_real are mesh padding, excluded
+    tsum=None,  # optional (ncv,) int32 GLOBAL allele counts: when the
+    # individuals axis is processed in chunks, the frequency must come
+    # from the whole population, not the chunk
+    n_freq=None,  # () int — population size the counts were taken over
 ) -> Tuple[jax.Array, jax.Array]:
     """One chromosome's (A, D) contribution for every individual."""
     t = (c0 + c1).astype(jnp.float32)  # (n, ncv) in {0,1,2}
     n = c0.shape[0]
     if n_real is None:
         n_real = n
-    # integer allele-count sum: exact, hence bit-identical under any
-    # individuals-axis sharding (a float32 psum would reassociate); padding
-    # rows (index >= n_real) are masked out of the frequency
-    valid = jnp.arange(n) < n_real
-    tsum = jnp.sum(
-        jnp.where(valid[:, None], (c0 + c1).astype(jnp.int32), 0), axis=0
-    )
-    nr = jnp.asarray(n_real, dtype=jnp.float32)
+    if tsum is None:
+        # integer allele-count sum: exact, hence bit-identical under any
+        # individuals-axis sharding (a float32 psum would reassociate);
+        # padding rows (index >= n_real) are masked out of the frequency
+        valid = jnp.arange(n) < n_real
+        tsum = jnp.sum(
+            jnp.where(valid[:, None], (c0 + c1).astype(jnp.int32), 0), axis=0
+        )
+        n_freq = n_real
+    nr = jnp.asarray(n_freq, dtype=jnp.float32)
     p = tsum.astype(jnp.float32) / (2.0 * nr)  # current-gen allele freq
     q = 1.0 - p
     a = 0.5 * (a0 + a1)

@@ -251,3 +251,22 @@ def test_show_results_console_table(mini_scenario, tmp_path, capsys):
     for label in ("   var_A:", "   var_P:", "   h2   :",
                   " var_mating_value   :", " var_selection_value:"):
         assert label in out, label
+
+
+def test_chunked_ad_bit_identical(mini_scenario, tmp_path, monkeypatch):
+    """Biobank-n A/D chunking (GE_AD_CHUNK): global integer allele counts
+    in pass 1, per-chunk A/D against the global frequency in pass 2 —
+    byte-identical outputs to the unchunked path."""
+    monkeypatch.setenv("GE_NO_RESIDENT_CV", "1")  # force the _ad_all path
+    d1, d2 = tmp_path / "a", tmp_path / "b"
+    d1.mkdir(), d2.mkdir()
+    _run(mini_scenario, d1)
+    monkeypatch.setenv("GE_AD_CHUNK", "16")  # ~5 chunks at n=60
+    _run(mini_scenario, d2)
+    assert filecmp.cmp(
+        d1 / "out.pop1.summary", d2 / "out.pop1.summary", shallow=False
+    )
+    assert filecmp.cmp(
+        d1 / "out.info.pop1.gen4.txt", d2 / "out.info.pop1.gen4.txt",
+        shallow=False,
+    )
