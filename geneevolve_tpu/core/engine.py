@@ -149,13 +149,31 @@ def _capacity_probe(
         return seg_used, mut_used, xo_f, xo_m, sh, new_f, new_m
 
     keys = jax.random.split(key, par_st.shape[0])
-    xs = (
-        par_st, par_mut, keys,
-        bp, xo_cum, xo_lambda, bin_width, mut_bp, mut_cum, mut_lambda,
-        jnp.arange(par_st.shape[0], dtype=jnp.int32),
-    )
-    su, mu_used, xo_f, xo_m, sh, new_f, new_m = jax.lax.map(
-        lambda a: per_chr(*a), xs, batch_size=1
+    # python-unrolled over chromosomes with barrier serialization (same
+    # pattern as _ad_all): the earlier lax.map(batch_size=1) wrapper
+    # RESHAPED its inputs to (nchr, 1, ...), materializing a full copy of
+    # the parent ledger inside the program — 7.9 GB at n=1e6 (measured
+    # OOM); indexing slices per iteration copies nothing
+    nchr = par_st.shape[0]
+    outs = []
+    # serialization: each iteration's chromosome INDEX depends on the
+    # previous iteration's result (carry is always 0, but XLA cannot know
+    # that), so the unrolled bodies cannot be scheduled concurrently —
+    # without the dependence every chromosome's kernel temporaries
+    # coexist (measured 33 GB at n=1e6; an optimization_barrier on the
+    # OUTPUTS does not gate the next iteration's START)
+    carry = jnp.zeros((), jnp.int32)
+    for ci in range(nchr):
+        ci_t = jnp.asarray(ci, jnp.int32) + carry
+        r = per_chr(
+            par_st[ci_t], par_mut[ci_t], keys[ci_t], bp[ci_t], xo_cum[ci_t],
+            xo_lambda[ci_t], bin_width[ci_t], mut_bp[ci_t], mut_cum[ci_t],
+            mut_lambda[ci_t], ci_t,
+        )
+        carry = jnp.clip(r[0].astype(jnp.int32), 0, 0)  # == 0, data-dep
+        outs.append(r)
+    su, mu_used, xo_f, xo_m, sh, new_f, new_m = (
+        jnp.stack([o[i] for o in outs]) for i in range(7)
     )
     return (
         jnp.max(su),
@@ -475,27 +493,30 @@ def _ad_all(
         cnts = []
         carry = jnp.zeros((), jnp.int32)
         for ci in range(nchr):
+            ci_t = jnp.asarray(ci, jnp.int32) + carry
             t = per_chr(
-                seg_st[ci], seg_hap[ci], mut[ci], cv_bp[ci],
-                founder_cv[ci], a_tab[ci], d_tab[ci], None,
+                seg_st[ci_t], seg_hap[ci_t], mut[ci_t], cv_bp[ci_t],
+                founder_cv[ci_t], a_tab[ci_t], d_tab[ci_t], None,
             )
-            t, carry = jax.lax.optimization_barrier((t, carry))
+            carry = jnp.clip(t[0], 0, 0)  # == 0: serializing data-dep
             cnts.append(t)
         return jnp.stack(cnts)
     A = D = jnp.zeros((), dtype=jnp.float32)
     cs = []
+    # serializing index dependence, as in _capacity_probe: one
+    # chromosome's ~1 GB gather temporaries must die before the next
+    # iteration's allocate
+    carry = jnp.zeros((), jnp.int32)
     for ci in range(nchr):
+        ci_t = jnp.asarray(ci, jnp.int32) + carry
         A_c, D_c, c_c = per_chr(
-            seg_st[ci], seg_hap[ci], mut[ci], cv_bp[ci], founder_cv[ci],
-            a_tab[ci], d_tab[ci],
-            None if counts is None else counts[ci],
+            seg_st[ci_t], seg_hap[ci_t], mut[ci_t], cv_bp[ci_t],
+            founder_cv[ci_t], a_tab[ci_t], d_tab[ci_t],
+            None if counts is None else counts[ci_t],
         )
         A = A + A_c
         D = D + D_c
-        # barrier: serialize the unrolled chromosomes so one iteration's
-        # ~1 GB gather temporaries die before the next allocates (without
-        # it XLA overlaps iterations and the 1e6-row program OOMs)
-        A, D = jax.lax.optimization_barrier((A, D))
+        carry = jnp.clip(A_c[0].astype(jnp.int32), 0, 0)
         if want_cv:
             cs.append(c_c)
     c = jnp.stack(cs) if want_cv else jnp.zeros(
