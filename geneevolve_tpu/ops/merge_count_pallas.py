@@ -36,18 +36,23 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
-RN = 512  # individuals (sublane rows) per grid step; 2048 exceeds the
-# 16M scoped-vmem stack limit with the K unrolled temps (measured)
+RN = 64  # lane width of the output tile (= its array dim, a legal
+# non-128 lane size); GB*RN = 512 individuals per program — larger
+# operand blocks exceed the 16M scoped-vmem stack with the K unrolled
+# compare temps (measured at 2048 and 4096 rows)
+GB = 8  # output sublane rows per grid step
 
 
-def _kernel(ab_ref, xo_ref, start_ref, out_ref, *, S: int, K: int,
-            big: int):
-    ab = ab_ref[:]  # (RN, 2S) int32: A slots then B slots
-    start = start_ref[:]  # (RN, 1)
+def _kernel(in_ref, out_ref, *, S: int, K: int, big: int):
+    # one fused operand (RN, 2S + K + 1): parent slots | xo | start —
+    # separate narrow operands each lane-pad to 128 when materialized
+    # (a (n, 1) buffer inflates 128x = 490 MB at n=1e6, measured OOM)
+    ab = in_ref[:, : 2 * S]
+    start = in_ref[:, 2 * S + K][:, None]
     cnt = jnp.zeros(ab.shape, dtype=jnp.int32)
     n_xo = jnp.zeros((ab.shape[0], 1), dtype=jnp.int32)
     for k in range(K):
-        xk = xo_ref[:, k][:, None]
+        xk = in_ref[:, 2 * S + k][:, None]
         cnt = cnt + jnp.where(xk <= ab, 1, 0)
         n_xo = n_xo + jnp.where(xk < big, 1, 0)
     act = (start + cnt) & 1
@@ -58,30 +63,28 @@ def _kernel(ab_ref, xo_ref, start_ref, out_ref, *, S: int, K: int,
         & (slot != 0)
         & (slot != S)
     )
-    out_ref[:] = (
+    counts = (
         1 + n_xo + jnp.sum(jnp.where(take, 1, 0), axis=1, keepdims=True)
     )
+    # (GB*RN, 1) -> (GB, RN): the output buffer is (grid*GB, RN),
+    # lane-dense — a (n, 1) output buffer would lane-pad 128x (measured
+    # 490 MB per buffer at n=1e6)
+    out_ref[:] = counts.reshape(GB, RN)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _count_call(ab, xo, start, interpret=False):
-    n, twoS = ab.shape
-    K = xo.shape[1]
-    S = twoS // 2
+@functools.partial(jax.jit, static_argnames=("S", "K", "interpret"))
+def _count_call(packed, S, K, interpret=False):
+    n, W = packed.shape
     from geneevolve_tpu.core.segments import _big
 
     return pl.pallas_call(
         functools.partial(_kernel, S=S, K=K, big=_big()),
-        grid=(n // RN,),
-        in_specs=[
-            pl.BlockSpec((RN, twoS), lambda i: (i, 0)),
-            pl.BlockSpec((RN, K), lambda i: (i, 0)),
-            pl.BlockSpec((RN, 1), lambda i: (i, 0)),
-        ],
-        out_specs=pl.BlockSpec((RN, 1), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((n, 1), jnp.int32),
+        grid=(n // (GB * RN),),
+        in_specs=[pl.BlockSpec((GB * RN, W), lambda i: (i, 0))],
+        out_specs=pl.BlockSpec((GB, RN), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n // RN, RN), jnp.int32),
         interpret=interpret,
-    )(ab, xo, start)
+    )(packed)
 
 
 def count_merge_valid_pallas(
@@ -92,15 +95,20 @@ def count_merge_valid_pallas(
 ) -> jax.Array:
     """(n,) valid-slot count, bit-equal to `segments.count_merge_valid`
     on the unflattened rows."""
-    n = par_flat.shape[0]
+    n, twoS = par_flat.shape
+    K = xo.shape[1]
     interpret = interpret or jax.default_backend() != "tpu"
-    pad = (-n) % RN
-    big = jnp.asarray(np.iinfo(np.int32).max, jnp.int32)
-    ab = jnp.pad(par_flat, ((0, pad), (0, 0)))
-    xo_p = jnp.pad(xo.astype(jnp.int32), ((0, pad), (0, 0)),
-                   constant_values=big)
-    st_p = jnp.pad(
-        start_hap.astype(jnp.int32).reshape(-1, 1), ((0, pad), (0, 0))
+    packed = jnp.concatenate(
+        [
+            par_flat,
+            xo.astype(jnp.int32),
+            start_hap.astype(jnp.int32).reshape(-1, 1),
+        ],
+        axis=1,
     )
-    out = _count_call(ab, xo_p, st_p, interpret=interpret)
-    return out[:n, 0]
+    pad = (-n) % (GB * RN)
+    if pad:
+        big = jnp.asarray(np.iinfo(np.int32).max, jnp.int32)
+        packed = jnp.pad(packed, ((0, pad), (0, 0)), constant_values=big)
+    out = _count_call(packed, twoS // 2, K, interpret=interpret)
+    return out.reshape(-1)[:n]
