@@ -35,10 +35,50 @@ from geneevolve_tpu.utils import telemetry
 # jitted genome kernels
 
 
+def _chr_plan_draws(
+    k, nc, xo_cap, mn_cap, has_mut, xo_grid_w, mut_grid_w,
+    bp_c, xoc, xol, bw, mbp, mcum, mlam,
+    xg, mg, xL, xc2, mL, mc2, b0, mb0, bstep, mbstep,
+):
+    """One chromosome's full generation plan (crossovers both gametes,
+    start chromatids, de novo mutations + chromatid split) from its
+    per-chromosome key. Shared by `_capacity_probe` and `_plan_group` so
+    the two are draw-for-draw identical — the capacity guard depends on
+    it."""
+    big = segments._big()
+    k_xo_f, k_xo_m, k_sh, k_mp, k_mc = jax.random.split(k, 5)
+    xo_f = segments.sample_point_process(
+        k_xo_f, nc, xo_cap, xoc, xol, bp_c, bw, False,
+        grid=xg, grid_w=xo_grid_w, bp0=b0, bp_step=bstep,
+        bin_L=xL, bin_c2=xc2,
+    )
+    xo_m = segments.sample_point_process(
+        k_xo_m, nc, xo_cap, xoc, xol, bp_c, bw, False,
+        grid=xg, grid_w=xo_grid_w, bp0=b0, bp_step=bstep,
+        bin_L=xL, bin_c2=xc2,
+    )
+    sh = jax.random.randint(k_sh, (nc, 2), 0, 2)
+    if has_mut:
+        new = segments.sample_point_process(
+            k_mp, nc, mn_cap, mcum, mlam, mbp, 0, True,
+            grid=mg, grid_w=mut_grid_w, bp0=mb0, bp_step=mbstep,
+            bin_L=mL, bin_c2=mc2,
+        )
+        which = jax.random.randint(k_mc, (nc, mn_cap), 0, 2)
+        new_f = jnp.where(which == 0, new, big)
+        new_m = jnp.where(which == 1, new, big)
+    else:
+        new = None
+        new_f = jnp.full((nc, 1), big, dtype=segments.pos_dtype())
+        new_m = new_f
+    return xo_f, xo_m, sh, new_f, new_m, new
+
+
 @partial(
     jax.jit,
     static_argnames=(
         "xo_cap", "mn_cap", "has_mut", "xo_grid_w", "mut_grid_w",
+        "emit_plan",
     ),
 )
 def _capacity_probe(
@@ -69,6 +109,10 @@ def _capacity_probe(
     xo_c2T=None,
     mut_L=None,
     mut_c2T=None,
+    emit_plan: bool = True,  # static: False returns only the capacity
+    # scalars — the sampled plan dies per chromosome inside the program
+    # (the stacked (nchr, n, cap) plan buffers are the peak-HBM driver at
+    # biobank n; the per-group mode re-draws them just-in-time)
 ):
     """Generation plan: samples EVERY random draw of the coming reproduce
     pass (crossover point processes, gamete start chromatids, de novo
@@ -96,18 +140,11 @@ def _capacity_probe(
         mb0 = mut_bp0[ci] if mut_bp0 is not None else None
         bstep = bp_step[ci] if bp0 is not None else None
         mbstep = mut_bp_step[ci] if mut_bp0 is not None else None
-        k_xo_f, k_xo_m, k_sh, k_mp, k_mc = jax.random.split(k, 5)
-        xo_f = segments.sample_point_process(
-            k_xo_f, nc, xo_cap, xoc, xol, bp_c, bw, False,
-            grid=xg, grid_w=xo_grid_w, bp0=b0, bp_step=bstep,
-            bin_L=xL, bin_c2=xc2,
+        xo_f, xo_m, sh, new_f, new_m, new = _chr_plan_draws(
+            k, nc, xo_cap, mn_cap, has_mut, xo_grid_w, mut_grid_w,
+            bp_c, xoc, xol, bw, mbp, mcum, mlam,
+            xg, mg, xL, xc2, mL, mc2, b0, mb0, bstep, mbstep,
         )
-        xo_m = segments.sample_point_process(
-            k_xo_m, nc, xo_cap, xoc, xol, bp_c, bw, False,
-            grid=xg, grid_w=xo_grid_w, bp0=b0, bp_step=bstep,
-            bin_L=xL, bin_c2=xc2,
-        )
-        sh = jax.random.randint(k_sh, (nc, 2), 0, 2)
         if segments.use_pallas_bins():
             # same slot count at VPU roofline (bit-equal integer math;
             # ops/merge_count_pallas.py) — the XLA compare-reduce form
@@ -127,24 +164,12 @@ def _capacity_probe(
         seg_used = jnp.maximum(jnp.max(nv0), jnp.max(nv1))
         big = segments._big()
         if has_mut:
-            new = segments.sample_point_process(
-                k_mp, nc, mn_cap, mcum, mlam, mbp, 0, True,
-                grid=mg, grid_w=mut_grid_w, bp0=mb0, bp_step=mbstep,
-                bin_L=mL, bin_c2=mc2,
-            )
-            # chromatid split of the de novo mutations (was drawn by the
-            # real pass from the same k_mc before the plan refactor)
-            which = jax.random.randint(k_mc, (nc, mn_cap), 0, 2)
-            new_f = jnp.where(which == 0, new, big)
-            new_m = jnp.where(which == 1, new, big)
             mreal = jnp.sum((mu < big).astype(jnp.int32), axis=(1, 2))
             newr = jnp.sum((new < big).astype(jnp.int32), axis=1)
             mut_used = jnp.max(
                 jnp.maximum(mreal[father], mreal[mother]) + newr
             )
         else:
-            new_f = jnp.full((nc, 1), big, dtype=segments.pos_dtype())
-            new_m = new_f
             mut_used = jnp.zeros((), dtype=jnp.int32)
         return seg_used, mut_used, xo_f, xo_m, sh, new_f, new_m
 
@@ -171,7 +196,11 @@ def _capacity_probe(
             mut_lambda[ci_t], ci_t,
         )
         carry = jnp.clip(r[0].astype(jnp.int32), 0, 0)  # == 0, data-dep
-        outs.append(r)
+        outs.append(r if emit_plan else r[:2])
+    if not emit_plan:
+        su = jnp.stack([o[0] for o in outs])
+        mu_used = jnp.stack([o[1] for o in outs])
+        return jnp.max(su), jnp.max(mu_used), None
     su, mu_used, xo_f, xo_m, sh, new_f, new_m = (
         jnp.stack([o[i] for o in outs]) for i in range(7)
     )
@@ -179,6 +208,54 @@ def _capacity_probe(
         jnp.max(su),
         jnp.max(mu_used),
         (xo_f, xo_m, sh, new_f, new_m),
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "nc", "gn", "xo_cap", "mn_cap", "has_mut", "xo_grid_w",
+        "mut_grid_w",
+    ),
+)
+def _plan_group(
+    key, c0, nc: int, gn: int,
+    bp, xo_cum, xo_lambda, bin_width, mut_bp, mut_cum, mut_lambda,
+    xo_cap: int, mn_cap: int, has_mut: bool,
+    xo_grid=None, mut_grid=None, bp0=None, mut_bp0=None,
+    bp_step=None, mut_bp_step=None,
+    xo_grid_w: int = 0, mut_grid_w: int = 0,
+    xo_L=None, xo_c2T=None, mut_L=None, mut_c2T=None,
+):
+    """Re-draw the generation plan for chromosomes [c0, c0+gn) only —
+    draw-for-draw identical to `_capacity_probe`'s (same key schedule via
+    `_chr_plan_draws`; the capacity guard cross-checks every generation).
+    The per-group mode keeps only one group's (gn, n, cap) plan alive
+    instead of all nchr stacked (the peak-HBM driver at biobank n)."""
+    nchr = bp.shape[0]
+    keys = jax.random.split(key, nchr)
+    outs = []
+    for g in range(gn):
+        ci = c0 + jnp.asarray(g, dtype=c0.dtype)
+        xg = xo_grid[ci] if xo_grid is not None else None
+        mg = mut_grid[ci] if mut_grid is not None else None
+        xL = xo_L[ci] if xo_L is not None else None
+        xc2 = xo_c2T[ci] if xo_c2T is not None else None
+        mL = mut_L[ci] if mut_L is not None else None
+        mc2 = mut_c2T[ci] if mut_c2T is not None else None
+        b0 = bp0[ci] if bp0 is not None else None
+        mb0 = mut_bp0[ci] if mut_bp0 is not None else None
+        bstep = bp_step[ci] if bp0 is not None else None
+        mbstep = mut_bp_step[ci] if mut_bp0 is not None else None
+        xo_f, xo_m, sh, new_f, new_m, _ = _chr_plan_draws(
+            keys[ci], nc, xo_cap, mn_cap, has_mut, xo_grid_w, mut_grid_w,
+            bp[ci], xo_cum[ci], xo_lambda[ci], bin_width[ci],
+            mut_bp[ci], mut_cum[ci], mut_lambda[ci],
+            xg, mg, xL, xc2, mL, mc2, b0, mb0, bstep, mbstep,
+        )
+        outs.append((xo_f, xo_m, sh, new_f, new_m))
+    return tuple(
+        jnp.stack([o[i] for o in outs]) for i in range(5)
     )
 
 
@@ -354,7 +431,9 @@ def _make_per_chr(
 
 @partial(
     jax.jit,
-    static_argnames=("gn", "s_cap", "m_cap", "merge_ibd", "has_mut"),
+    static_argnames=(
+        "gn", "s_cap", "m_cap", "merge_ibd", "has_mut", "plan_local",
+    ),
     donate_argnames=("par_st", "par_hap", "par_mut", "cv"),
 )
 def _reproduce_group_inplace(
@@ -377,6 +456,8 @@ def _reproduce_group_inplace(
     has_mut: bool = True,
     cv=None,
     cv_bp=None,
+    plan_local: bool = False,  # static: plan args are already the
+    # group's (gn, ...) slices (per-group plan mode) — don't slab them
 ):
     """A group of gn chromosomes of `reproduce`, updating the stacked
     genome planes IN PLACE (donated buffers + dynamic-update-slice alias,
@@ -401,9 +482,12 @@ def _reproduce_group_inplace(
         sizes = (gn,) + x.shape[1:]
         return jax.lax.dynamic_slice(x, (c0,) + (z,) * (x.ndim - 1), sizes)
 
+    def pslab(x):
+        return x if plan_local else slab(x)
+
     xs = (
         slab(par_st), slab(par_hap), slab(par_mut),
-        slab(xo_f), slab(xo_m), slab(sh), slab(new_f), slab(new_m),
+        pslab(xo_f), pslab(xo_m), pslab(sh), pslab(new_f), pslab(new_m),
         c0 + jnp.arange(gn, dtype=c0.dtype),
     )
     # unrolled (NOT lax.map): the scan wrapper's staging boundaries cost
@@ -546,14 +630,20 @@ def _ad_resident(
             c[:, 0], c[:, 1], a_b, a_b, d_b, d_b, dominance_on, n_real
         )
 
-    # chunked over chromosomes: the elementwise chain materializes f32
-    # (n, ncv) temporaries per in-flight chromosome (~120 MB each at
-    # n=300k); a 22-wide vmap batch stacked several GB of them on top of
-    # the resident genome state and OOMed a 16 GB chip at Table-3.1 scale
-    A, D = jax.lax.map(
-        lambda x: per_chr(*x), (cv, a_row, d_row), batch_size=4
-    )
-    return jnp.sum(A, axis=0), jnp.sum(D, axis=0)
+    # sequential unrolled accumulation, SAME order as _ad_all: the two
+    # paths stay bit-identical (a tree/vmap reduction reassociates f32),
+    # and one chromosome's (n, ncv) f32 temporaries die before the next
+    # allocates (serializing index dependence, see _capacity_probe)
+    nchr = cv.shape[0]
+    A = D = jnp.zeros((), dtype=jnp.float32)
+    carry = jnp.zeros((), jnp.int32)
+    for ci in range(nchr):
+        ci_t = jnp.asarray(ci, jnp.int32) + carry
+        A_c, D_c = per_chr(cv[ci_t], a_row[ci_t], d_row[ci_t])
+        A = A + A_c
+        D = D + D_c
+        carry = jnp.clip(A_c[0].astype(jnp.int32), 0, 0)
+    return A, D
 
 
 @jax.jit
@@ -1557,6 +1647,18 @@ class Simulation:
             mother = jax.device_put(mother, sh)
         sm = p.smaps
         key = stage_key(self.key, gen, Stage.CROSSOVER, p.index)
+        # plan residency mode: stacked plans (plan-once, default) keep the
+        # whole (nchr, n, cap) plan alive between probe and real pass;
+        # at biobank n those buffers are the peak-HBM driver, so past
+        # GE_PLAN_BYTES_MAX the plan is re-drawn per chromosome group
+        # just-in-time (draw-for-draw identical — shared _chr_plan_draws
+        # key schedule, cross-checked by the capacity guard each gen)
+        nchr_ = st.seg_st.shape[0]
+        plan_bytes = 2 * nchr_ * n_pad * (self.xo_cap + self.mn_cap + 2) * 4
+        per_group = (
+            plan_bytes > int(os.environ.get("GE_PLAN_BYTES_MAX", "1500000000"))
+            or os.environ.get("GE_PLAN_PER_GROUP") == "1"
+        ) and os.environ.get("GE_PLAN_PER_GROUP") != "0"
         # plan pre-pass: samples every draw of the generation ONCE and
         # returns exact capacity needs; growth happens while the old state
         # is alive — the real pass donates the genome buffers, so an
@@ -1590,6 +1692,7 @@ class Simulation:
                 sm.xo_c2T,
                 sm.mut_L,
                 sm.mut_c2T,
+                emit_plan=not per_group,
             )
             # one host sync per generation (the probe fetch)
             seg_need, mut_need = int(seg_need), int(mut_need)
@@ -1603,7 +1706,10 @@ class Simulation:
             st.mut = self._put(_pad_positions(st.mut, self.m_cap))
             self._log(f"      [capacity grow] M={self.m_cap}")
         t_real0 = time.perf_counter()
-        xo_f, xo_m, sh_plan, new_f, new_m = plan_arrays
+        if plan_arrays is not None:
+            xo_f, xo_m, sh_plan, new_f, new_m = plan_arrays
+        else:
+            xo_f = xo_m = sh_plan = new_f = new_m = None
         statics = dict(
             s_cap=self.s_cap,
             m_cap=self.m_cap,
@@ -1624,16 +1730,43 @@ class Simulation:
             seg_used = mut_used = None
             for c0 in range(0, nchr, gn):
                 g = min(gn, nchr - c0)
+                if per_group:
+                    pg = _plan_group(
+                        key, jnp.asarray(c0, dtype=jnp.int32), n_pad, g,
+                        sm.bp, sm.xo_cum, sm.xo_lambda, sm.bin_width,
+                        sm.mut_bp, sm.mut_cum, sm.mut_lambda,
+                        self.xo_cap, self.mn_cap, self.has_mut,
+                        sm.xo_grid, sm.mut_grid, sm.bp0, sm.mut_bp0,
+                        sm.bp_step, sm.mut_bp_step,
+                        sm.xo_grid_w, sm.mut_grid_w,
+                        sm.xo_L, sm.xo_c2T, sm.mut_L, sm.mut_c2T,
+                    )
+                else:
+                    pg = (xo_f, xo_m, sh_plan, new_f, new_m)
                 seg_st, seg_hap, mut, cv, su, mu_u = _reproduce_group_inplace(
                     seg_st, seg_hap, mut,
                     father, mother,
-                    xo_f, xo_m, sh_plan, new_f, new_m,
+                    *pg,
                     jnp.asarray(c0, dtype=jnp.int32), gn=g,
-                    cv=cv, cv_bp=self.cv_bp_all, **statics,
+                    cv=cv, cv_bp=self.cv_bp_all,
+                    plan_local=per_group, **statics,
                 )
                 seg_used = su if seg_used is None else jnp.maximum(seg_used, su)
                 mut_used = mu_u if mut_used is None else jnp.maximum(mut_used, mu_u)
         else:
+            if per_group:
+                # resize generations are rare; draw the full plan here
+                xo_f, xo_m, sh_plan, new_f, new_m = _plan_group(
+                    key, jnp.asarray(0, dtype=jnp.int32), n_pad,
+                    st.seg_st.shape[0],
+                    sm.bp, sm.xo_cum, sm.xo_lambda, sm.bin_width,
+                    sm.mut_bp, sm.mut_cum, sm.mut_lambda,
+                    self.xo_cap, self.mn_cap, self.has_mut,
+                    sm.xo_grid, sm.mut_grid, sm.bp0, sm.mut_bp0,
+                    sm.bp_step, sm.mut_bp_step,
+                    sm.xo_grid_w, sm.mut_grid_w,
+                    sm.xo_L, sm.xo_c2T, sm.mut_L, sm.mut_c2T,
+                )
             seg_st, seg_hap, mut, cv, seg_used, mut_used = _reproduce_all(
                 st.seg_st,
                 st.seg_hap,

@@ -270,3 +270,22 @@ def test_chunked_ad_bit_identical(mini_scenario, tmp_path, monkeypatch):
         d1 / "out.info.pop1.gen4.txt", d2 / "out.info.pop1.gen4.txt",
         shallow=False,
     )
+
+
+def test_plan_per_group_bit_identical(mini_scenario, tmp_path, monkeypatch):
+    """GE_PLAN_PER_GROUP=1 re-draws the generation plan per chromosome
+    group just-in-time (biobank-n memory mode) — byte-identical outputs
+    to the stacked plan-once path (shared _chr_plan_draws key schedule)."""
+    d1, d2 = tmp_path / "a", tmp_path / "b"
+    d1.mkdir(), d2.mkdir()
+    monkeypatch.setenv("GE_PLAN_PER_GROUP", "0")
+    _run(mini_scenario, d1)
+    monkeypatch.setenv("GE_PLAN_PER_GROUP", "1")
+    _run(mini_scenario, d2)
+    assert filecmp.cmp(
+        d1 / "out.pop1.summary", d2 / "out.pop1.summary", shallow=False
+    )
+    assert filecmp.cmp(
+        d1 / "out.info.pop1.gen4.txt", d2 / "out.info.pop1.gen4.txt",
+        shallow=False,
+    )
