@@ -345,14 +345,46 @@ def _make_per_chr(
     """One chromosome's `reproduce` body (two meioses, mutation
     inheritance, resident-CV transport), consuming the pre-sampled plan —
     a closure shared by the all-chromosomes batch (`_reproduce_all`) and
-    the in-place path (`_reproduce_group_inplace`)."""
-    nc = father.shape[0]
+    the in-place path (`_reproduce_group_inplace`). At biobank n the
+    children are processed in row chunks (serialized like _capacity_probe)
+    so the merge's (L, chunk) transients stay bounded."""
+    nc_all = father.shape[0]
+    CHN = int(os.environ.get("GE_REPRO_CHUNK", str(1 << 18)))
 
-    def per_chr(
-        st, hp, mu, xo_f, xo_m, sh, new_f, new_m, ci,
+    def per_chr(st, hp, mu, xo_f, xo_m, sh, new_f, new_m, ci):
+        if nc_all <= (1 << 19):
+            return _per_chr_rows(
+                st, hp, mu, father, mother,
+                xo_f, xo_m, sh, new_f, new_m, ci,
+            )
+        outs = []
+        carry = jnp.zeros((), jnp.int32)
+        for lo in range(0, nc_all, CHN):
+            hi = min(lo + CHN, nc_all)
+            # serializing data-dep (carry is always 0)
+            fa = jax.lax.dynamic_slice_in_dim(father, lo + carry, hi - lo)
+            r = _per_chr_rows(
+                st, hp, mu, fa, mother[lo:hi],
+                xo_f[lo:hi], xo_m[lo:hi], sh[lo:hi],
+                new_f[lo:hi], new_m[lo:hi], ci,
+            )
+            carry = jnp.clip(r[4].astype(jnp.int32), 0, 0)
+            outs.append(r)
+        return (
+            jnp.concatenate([o[0] for o in outs], axis=0),
+            jnp.concatenate([o[1] for o in outs], axis=0),
+            jnp.concatenate([o[2] for o in outs], axis=0),
+            jnp.concatenate([o[3] for o in outs], axis=0),
+            jnp.max(jnp.stack([o[4] for o in outs])),
+            jnp.max(jnp.stack([o[5] for o in outs])),
+        )
+
+    def _per_chr_rows(
+        st, hp, mu, father, mother, xo_f, xo_m, sh, new_f, new_m, ci,
     ):
         from geneevolve_tpu.ops.materialize import gather_rows
 
+        nc = father.shape[0]
         cvr = cv[ci] if cv is not None else None  # (n, 2, C)
         q = cv_bp[ci] if cv_bp is not None else None  # (C,)
         # materialize the parent-row gathers once (ops/materialize.py):

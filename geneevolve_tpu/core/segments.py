@@ -482,6 +482,24 @@ def sample_point_process(
     rows (jax.random.poisson returns 0 for rate 0)."""
     if isinstance(lam, (int, float)) and lam <= 0.0:
         return jnp.full((n, cap), _big(), dtype=pos_dtype())
+    # biobank-n: the (n, cap) f32 working set lane-pads cap -> 128 on TPU
+    # (a (1e6, 24) temp is ~0.5 GB padded, and ~6 are alive per sampler),
+    # so very large row counts run in independent chunks with per-chunk
+    # subkeys — same law, bounded temps. The threshold keeps every
+    # reference-scale run (n <= 2^19) on the original single-pass draws.
+    CHN = int(os.environ.get("GE_SAMPLER_CHUNK", str(1 << 18)))
+    if n > (1 << 19):
+        outs = []
+        for ck, lo in enumerate(range(0, n, CHN)):
+            hi = min(lo + CHN, n)
+            outs.append(
+                sample_point_process(
+                    jax.random.fold_in(key, ck), hi - lo, cap, cum, lam,
+                    bp, width, inclusive_bins, grid=grid, grid_w=grid_w,
+                    bp0=bp0, bp_step=bp_step, bin_L=bin_L, bin_c2=bin_c2,
+                )
+            )
+        return jnp.concatenate(outs, axis=0)
     K = cum.shape[0]
     k1, k2, k3 = jax.random.split(key, 3)
     counts = jnp.minimum(jax.random.poisson(k1, lam, (n,)), cap)
