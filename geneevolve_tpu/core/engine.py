@@ -1085,20 +1085,10 @@ class Simulation:
 
         # resident CV-allele fast path: single population only (the A/D
         # effect tables are root-population-resolved per chromatid via the
-        # founder hap index, which the resident matrix does not carry)
+        # founder hap index, which the resident matrix does not carry).
+        # Whether it actually stays resident is decided below, once the
+        # ledger capacities are known (HBM budget check at biobank n).
         self.ncv_pad = max(ncv_max, 1)
-        self.resident_cv = (
-            self.n_pop == 1
-            and os.environ.get("GE_NO_RESIDENT_CV") != "1"
-        )
-        if self.resident_cv:
-            # (nchr, npheno*ncv_pad): all phenotypes' CV positions on one
-            # axis, in cv_bp_dev order
-            self.cv_bp_all = jnp.concatenate(
-                [self.cv_bp_dev[j] for j in range(self.n_pheno)], axis=1
-            )
-        else:
-            self.cv_bp_all = None
 
         # migration / output-generation list
         self.migration = (
@@ -1140,6 +1130,50 @@ class Simulation:
         # hap plane at reference-scale n
         H_tot = sum(2 * p.n_founders for p in self.pops)
         self.hap_dtype = jnp.int16 if H_tot <= 32000 else jnp.int32
+
+        # resident-CV residency decision (deferred from the CV-table build
+        # above so the projected ledger state is known): the
+        # (nchr, n, 2, npheno*ncv_pad) uint8 matrix is ~4.4 GB at n=1e6 /
+        # 2,200 CVs.  When state + matrix would not fit the HBM budget,
+        # fall back to the bit-identical gather path (_ad_all re-derives
+        # the alleles from the ledger each generation — slower, smaller).
+        self.resident_cv = (
+            self.n_pop == 1
+            and os.environ.get("GE_NO_RESIDENT_CV") != "1"
+        )
+        if self.resident_cv and (
+            jax.default_backend() == "tpu" or "GE_HBM_BYTES" in os.environ
+        ):
+            max_n = max(
+                int(s) for p in self.pops for s in p.schedule.pop_size
+            )
+            n_pad = max_n + 4 * int(np.sqrt(max_n)) + 16  # law-path rows
+            nchr_ = max(len(p.maps) for p in self.pops)
+            pos_b = 8 if jax.config.jax_enable_x64 else 4
+            hap_b = 2 if self.hap_dtype == jnp.int16 else 4
+            state_b = nchr_ * n_pad * 2 * (
+                self.s_cap * (pos_b + hap_b) + self.m_cap * pos_b
+            )
+            cv_b = nchr_ * n_pad * 2 * self.n_pheno * self.ncv_pad
+            budget = int(os.environ.get(
+                "GE_HBM_BYTES", str(int(15.25 * 2**30))
+            ))
+            if state_b + cv_b > int(0.92 * budget):
+                self.resident_cv = False
+                self._log(
+                    "    [mem] resident CV matrix "
+                    f"({cv_b / 2**30:.1f} GiB) + ledger state "
+                    f"({state_b / 2**30:.1f} GiB) exceeds the HBM budget "
+                    f"({budget / 2**30:.2f} GiB); using the gather path"
+                )
+        if self.resident_cv:
+            # (nchr, npheno*ncv_pad): all phenotypes' CV positions on one
+            # axis, in cv_bp_dev order
+            self.cv_bp_all = jnp.concatenate(
+                [self.cv_bp_dev[j] for j in range(self.n_pheno)], axis=1
+            )
+        else:
+            self.cv_bp_all = None
 
         # trajectories
         for p in self.pops:

@@ -289,3 +289,24 @@ def test_plan_per_group_bit_identical(mini_scenario, tmp_path, monkeypatch):
         d1 / "out.info.pop1.gen4.txt", d2 / "out.info.pop1.gen4.txt",
         shallow=False,
     )
+
+
+def test_resident_cv_hbm_budget_gate(mini_scenario, tmp_path, monkeypatch):
+    """The resident-CV residency decision is HBM-budget-aware: with a
+    budget too small for ledger state + CV matrix the engine falls back
+    to the gather path automatically, with byte-identical outputs (the
+    resident matrix is a pure caching layer, engine.py `_ad_resident`)."""
+    d1, d2 = tmp_path / "a", tmp_path / "b"
+    d1.mkdir(), d2.mkdir()
+    sim1 = _run(mini_scenario, d1)
+    assert sim1.resident_cv  # default at mini scale
+    monkeypatch.setenv("GE_HBM_BYTES", "4096")  # absurdly small budget
+    sim2 = _run(mini_scenario, d2)
+    assert not sim2.resident_cv  # gate engaged
+    assert filecmp.cmp(
+        d1 / "out.pop1.summary", d2 / "out.pop1.summary", shallow=False
+    )
+    assert filecmp.cmp(
+        d1 / "out.info.pop1.gen4.txt", d2 / "out.info.pop1.gen4.txt",
+        shallow=False,
+    )
